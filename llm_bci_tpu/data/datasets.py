@@ -1,0 +1,241 @@
+"""Example-dict datasets + static-shape pad/collate.
+
+Host-side numpy data pipeline. Mirrors the reference dataset family
+(``data_utils/datasets.py:23-175``) and its pad/collate protocol
+(``data_utils/datasets.py:191-271``), with one deliberate deviation for TPU:
+the trainer always fixes ``truncate == min_length`` per padded key so every
+batch has identical shapes — XLA compiles the train step once. The reference
+pads to the per-batch max, which would trigger a recompile per unique shape.
+
+No torch: collated batches are numpy arrays which the trainer transfers to
+device with the proper :class:`jax.sharding.NamedSharding`.
+"""
+from __future__ import annotations
+
+import math
+import random
+from copy import deepcopy
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+import numpy as np
+
+from llm_bci_tpu.registry import register_dataset
+
+
+def _example_features(spikes: np.ndarray) -> Dict[str, np.ndarray]:
+    """Derived per-example columns shared by all dataset classes
+    (reference ``data_utils/datasets.py:42-49``)."""
+    seq_len, n_channels = spikes.shape
+    return {
+        "spikes": spikes,                                         # (seq_len, n_channels)
+        "spikes_mask": np.ones(seq_len, dtype=np.int64),          # (seq_len,)
+        "spikes_timestamp": np.arange(seq_len, dtype=np.int64),   # (seq_len,)
+        "spikes_spacestamp": np.arange(n_channels, dtype=np.int64),  # (n_channels,)
+        "spikes_lengths": np.asarray(seq_len, dtype=np.int64),    # scalar
+    }
+
+
+@register_dataset("base")
+class SpikingDataset:
+    """Map-style dataset over a list of example dicts; adds the derived
+    spike columns (reference ``data_utils/datasets.py:23-50``)."""
+
+    def __init__(
+        self,
+        dataset: List[Dict[str, Any]],
+        length: Optional[int] = None,
+        spikes_name: str = "spikes",
+        **kwargs,
+    ):
+        self.dataset = dataset[:length] if length is not None else dataset
+        self.spikes_name = spikes_name
+
+    def __len__(self) -> int:
+        return len(self.dataset)
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        inputs = deepcopy(self.dataset[idx])
+        spikes = np.asarray(inputs.pop(self.spikes_name))
+        inputs.update(_example_features(spikes))
+        return inputs
+
+
+@register_dataset("decoding")
+class SpikingDatasetForDecoding(SpikingDataset):
+    """Adds ``targets``/``targets_mask``/``targets_lengths`` from a
+    configurable column (reference ``data_utils/datasets.py:66-97``)."""
+
+    def __init__(
+        self,
+        dataset: List[Dict[str, Any]],
+        length: Optional[int] = None,
+        spikes_name: str = "spikes",
+        targets_name: str = "targets",
+        **kwargs,
+    ):
+        super().__init__(dataset, length, spikes_name)
+        self.targets_name = targets_name
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        inputs = deepcopy(self.dataset[idx])
+        spikes = np.asarray(inputs.pop(self.spikes_name))
+        targets = np.asarray(inputs.pop(self.targets_name))
+        inputs.update(_example_features(spikes))
+        inputs.update(
+            {
+                "targets": targets,
+                "targets_mask": np.ones_like(targets),
+                "targets_lengths": np.asarray(targets.shape[0], dtype=np.int64),
+            }
+        )
+        return inputs
+
+
+@register_dataset("day")
+class DaySpecificSpikingDatasetForDecoding(SpikingDataset):
+    """Each ``__getitem__`` yields a day-homogeneous mini-batch (a list of
+    examples) drawn from stateful shuffled per-day index pools — pairs with
+    NDT1 per-day ``adapt`` embeddings (reference
+    ``data_utils/datasets.py:115-175``)."""
+
+    def __init__(
+        self,
+        dataset: List[Dict[str, Any]],
+        batch_size: int,
+        length: Optional[int] = None,
+        spikes_name: str = "spikes",
+        targets_name: str = "targets",
+        seed: int = 0,
+        **kwargs,
+    ):
+        super().__init__(dataset, length, spikes_name)
+        self.batch_size = batch_size
+        self.targets_name = targets_name
+        self._rng = random.Random(seed)
+        self.day_idxs = sorted(set(int(row["day_idx"]) for row in self.dataset))
+        self.day_datasets = {
+            d: [row for row in self.dataset if int(row["day_idx"]) == d] for d in self.day_idxs
+        }
+        self.possible_idx = {d: list(range(len(rows))) for d, rows in self.day_datasets.items()}
+        for d in self.day_idxs:
+            self._rng.shuffle(self.possible_idx[d])
+
+    def __len__(self) -> int:
+        return sum(math.ceil(len(rows) / self.batch_size) for rows in self.day_datasets.values())
+
+    def _day_for_batch(self, idx: int) -> int:
+        cum = 0
+        for d in self.day_idxs:
+            cum += math.ceil(len(self.day_datasets[d]) / self.batch_size)
+            if idx < cum:
+                return d
+        raise IndexError(idx)
+
+    def __getitem__(self, idx: int) -> List[Dict[str, Any]]:
+        day = self._day_for_batch(idx)
+        pool = self.possible_idx[day]
+        batch_idx = [pool.pop() for _ in range(min(self.batch_size, len(pool)))]
+        if not pool:
+            pool.extend(range(len(self.day_datasets[day])))
+            self._rng.shuffle(pool)
+
+        out = []
+        for j in batch_idx:
+            inputs = deepcopy(self.day_datasets[day][j])
+            spikes = np.asarray(inputs.pop(self.spikes_name))
+            targets = np.asarray(inputs.pop(self.targets_name))
+            inputs.update(_example_features(spikes))
+            inputs.update(
+                {
+                    "targets": targets,
+                    "targets_mask": np.ones_like(targets),
+                    "targets_lengths": np.asarray(targets.shape[0], dtype=np.int64),
+                }
+            )
+            out.append(inputs)
+        return out
+
+
+def padded_array(
+    arrays: List[np.ndarray],
+    dim: int = 0,
+    side: str = "right",
+    value: Union[int, float] = 0,
+    truncate: Optional[int] = None,
+    min_length: Optional[int] = None,
+) -> np.ndarray:
+    """Stack arrays that differ only along ``dim``, padding on ``side`` with
+    ``value``; clamp to ``truncate`` and pad at least to ``min_length``
+    (reference ``data_utils/datasets.py:191-221``). Returns a batched array
+    with a prepended batch dimension."""
+    if side not in ("left", "right"):
+        raise ValueError(f'"side" can only be "left" or "right", got {side!r}')
+    max_size = max(arr.shape[dim] for arr in arrays)
+    truncate = max_size if truncate is None else truncate
+    min_length = 0 if min_length is None else min_length
+    if min_length > truncate:
+        raise ValueError("Can't truncate below the minimum length")
+    pad_size = min(truncate, max(max_size, min_length))
+
+    ndim = arrays[0].ndim
+    out = []
+    for arr in arrays:
+        pad_width = [(0, 0)] * ndim
+        grow = max(0, pad_size - arr.shape[dim])
+        pad_width[dim] = (grow, 0) if side == "left" else (0, grow)
+        padded = np.pad(arr, pad_width, mode="constant", constant_values=value)
+        slc = [slice(None)] * ndim
+        slc[dim] = slice(0, truncate)
+        out.append(padded[tuple(slc)])
+    return np.stack(out, axis=0)
+
+
+def pad_collate_fn(
+    batch: List[Dict[str, Any]],
+    model_inputs: List[str],
+    pad_dict: Dict[str, Dict[str, Any]],
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Collate a list of example dicts into ``(model_inputs, unused_inputs)``.
+
+    Numeric array columns in ``pad_dict`` are padded/stacked; equal-shape
+    array columns are stacked as-is; ragged non-padded arrays stay a list;
+    non-array columns (e.g. ``sentence`` strings) stay a list. Columns named
+    in ``model_inputs`` go to the first dict, everything else to the second
+    (reference ``data_utils/datasets.py:236-271``).
+    """
+    # Dataset-side batching (day-specific dataset) yields lists of examples.
+    if batch and isinstance(batch[0], list):
+        batch = [row for sub in batch for row in sub]
+
+    keys = list(batch[0].keys())
+    array_keys = {
+        k
+        for k in keys
+        if isinstance(batch[0][k], np.ndarray) and batch[0][k].dtype.type != np.str_
+    }
+    string_array_keys = {
+        k
+        for k in keys
+        if isinstance(batch[0][k], np.ndarray) and batch[0][k].dtype.type == np.str_
+    }
+    missing = set(pad_dict) - array_keys
+    if missing & set(keys):
+        raise ValueError(f"Can't pad keys which are not arrays: {missing & set(keys)}")
+
+    collated: Dict[str, Any] = {}
+    unused: Dict[str, Any] = {}
+    for key in keys:
+        if key in array_keys:
+            if key in pad_dict:
+                value = padded_array([row[key] for row in batch], **pad_dict[key])
+            elif len({row[key].shape for row in batch}) == 1:
+                value = np.stack([row[key] for row in batch], axis=0)
+            else:
+                value = [row[key] for row in batch]
+        elif key in string_array_keys:
+            value = np.stack([row[key] for row in batch], axis=0)
+        else:
+            value = [row[key] for row in batch]
+
+        (collated if key in model_inputs else unused)[key] = value
+    return collated, unused

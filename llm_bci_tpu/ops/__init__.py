@@ -1,0 +1,5 @@
+from llm_bci_tpu.ops.ctc import ctc_loss
+from llm_bci_tpu.ops.losses import poisson_nll_loss, mse_loss, cross_entropy_loss
+from llm_bci_tpu.ops.smoothing import gaussian_kernel, smooth_spikes
+from llm_bci_tpu.ops.context import create_context_mask
+from llm_bci_tpu.ops.rotary import rope_cos_sin, apply_rotary_pos_emb

@@ -1,0 +1,99 @@
+"""On-device CTC loss — log-space alpha recursion via ``lax.scan``.
+
+TPU-native replacement for the cuDNN ``nn.CTCLoss`` the reference leans on
+(``models/ndt1.py:517,581``, ``models/itransformer.py:297,393``,
+``models/patchtst.py:207,248``). Semantics match
+``torch.nn.CTCLoss(reduction="none", blank, zero_infinity)``: the returned
+vector holds one *unnormalized* negative log-likelihood per example (the
+reference then ``.sum()``s it).
+
+Everything is static-shape: the scan runs over the padded time axis and the
+alpha lattice spans the padded label axis; ``input_lengths`` /
+``target_lengths`` select the valid region, so one compilation serves every
+batch.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def _logsumexp3(a: jax.Array, b: jax.Array, c: jax.Array) -> jax.Array:
+    m = jnp.maximum(jnp.maximum(a, b), c)
+    m_safe = jnp.where(m <= NEG_INF, 0.0, m)
+    out = m_safe + jnp.log(
+        jnp.exp(a - m_safe) + jnp.exp(b - m_safe) + jnp.exp(c - m_safe)
+    )
+    return jnp.where(m <= NEG_INF, NEG_INF, out)
+
+
+def ctc_loss(
+    log_probs: jax.Array,        # (B, T, V) log-softmax normalized
+    targets: jax.Array,          # (B, S) int labels (padding arbitrary)
+    input_lengths: jax.Array,    # (B,) valid frames per example
+    target_lengths: jax.Array,   # (B,) valid labels per example
+    blank_id: int = 0,
+    zero_infinity: bool = True,
+) -> jax.Array:                  # (B,) per-example -log p(targets | log_probs)
+    """CTC forward (alpha) recursion in log space.
+
+    The label sequence is extended with interleaved blanks:
+    ``z = [blank, y1, blank, y2, ..., yS, blank]`` (length ``2S+1``).
+    ``alpha[t, s]`` accumulates path probabilities; allowed transitions are
+    stay, advance-by-1, and advance-by-2 (the skip is illegal into a blank or
+    into a label equal to the one two slots back).
+    """
+    B, T, V = log_probs.shape
+    S = targets.shape[1]
+    L = 2 * S + 1
+
+    log_probs = log_probs.astype(jnp.float32)
+    targets = targets.astype(jnp.int32)
+    input_lengths = input_lengths.astype(jnp.int32)
+    target_lengths = target_lengths.astype(jnp.int32)
+
+    # Extended label sequence z: even slots are blank, odd slot 2i+1 is y_i.
+    slot = jnp.arange(L)
+    label_idx = jnp.clip((slot - 1) // 2, 0, S - 1)
+    z = jnp.where(slot % 2 == 1, targets[:, label_idx], blank_id)  # (B, L)
+
+    # Skip transition legality per slot (static over time).
+    z_shift2 = jnp.concatenate([jnp.full((B, 2), -1, jnp.int32), z[:, :-2]], axis=1)
+    can_skip = (z != blank_id) & (z != z_shift2)  # (B, L)
+
+    # alpha_0: only slots 0 (blank) and 1 (first label) are reachable.
+    emit0 = jnp.take_along_axis(log_probs[:, 0, :], z, axis=1)  # (B, L)
+    alpha0 = jnp.where(slot[None, :] <= 1, emit0, NEG_INF)
+    # Degenerate empty-target case: slot 1 unreachable when S_b == 0.
+    alpha0 = jnp.where((slot[None, :] == 1) & (target_lengths[:, None] == 0), NEG_INF, alpha0)
+
+    def step(alpha, t):
+        emit = jnp.take_along_axis(log_probs[:, t, :], z, axis=1)  # (B, L)
+        stay = alpha
+        adv1 = jnp.concatenate([jnp.full((B, 1), NEG_INF), alpha[:, :-1]], axis=1)
+        adv2 = jnp.concatenate([jnp.full((B, 2), NEG_INF), alpha[:, :-2]], axis=1)
+        adv2 = jnp.where(can_skip, adv2, NEG_INF)
+        new_alpha = _logsumexp3(stay, adv1, adv2) + emit
+        # Frames past input_length leave alpha untouched.
+        new_alpha = jnp.where((t < input_lengths)[:, None], new_alpha, alpha)
+        return new_alpha, None
+
+    alpha, _ = jax.lax.scan(step, alpha0, jnp.arange(1, T))
+    # T == 1 edge case: scan over an empty range returns alpha0 unchanged.
+
+    # log p = logsumexp over the two terminal slots (last blank, last label).
+    last_blank = jnp.take_along_axis(alpha, (2 * target_lengths)[:, None], axis=1)[:, 0]
+    last_label = jnp.take_along_axis(
+        alpha, jnp.maximum(2 * target_lengths - 1, 0)[:, None], axis=1
+    )[:, 0]
+    last_label = jnp.where(target_lengths == 0, NEG_INF, last_label)
+    log_p = jnp.logaddexp(last_blank, last_label)
+
+    loss = -log_p
+    if zero_infinity:
+        loss = jnp.where(loss >= -NEG_INF / 2, 0.0, loss)
+    # Match torch: an example whose input is shorter than needed for its
+    # target yields inf (-> 0 under zero_infinity) via the unreachable lattice.
+    return loss
