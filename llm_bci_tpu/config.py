@@ -59,6 +59,8 @@ def to_plain_dict(config: Any) -> Any:
 
 
 def _load_yaml(path: str) -> Any:
+    if not os.path.exists(path):
+        path = resolve_path(path)
     with open(path, "r") as f:
         return yaml.safe_load(f)
 

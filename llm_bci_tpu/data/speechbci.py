@@ -1,0 +1,251 @@
+"""Brain-to-Text speech BCI competition data loader.
+
+Reimplements the reference ``data_utils/speechbci_dataset.py:38-206``:
+``.mat`` session files → per-example dicts with concatenated
+``tx1``+``spikePow`` features, optional per-block/per-day z-scoring, day and
+block indexing, sentence cleanup; plus phoneme CTC labels (g2p_en) and
+LLM prompt labels for the end-to-end BCI method.
+
+Host-side numpy only. ``g2p_en`` is not baked into this image, so
+:func:`create_phonemes_ctc_labels` accepts any callable g2p and falls back
+to a rule-based ARPAbet approximation (clearly flagged) when the package is
+missing — competition-grade labels require the real g2p_en.
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+import string
+from glob import glob
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+
+_PUNCTUATION = string.punctuation.replace("'", "")
+
+
+def get_split_dict(
+    split_dir: str,
+    zscore_block: bool,
+    features: List[str],
+    area_start: int,
+    area_end: int,
+) -> List[Dict[str, Any]]:
+    """One split directory of ``.mat`` files → list of example dicts
+    (reference ``data_utils/speechbci_dataset.py:52-96``)."""
+    import scipy.io
+
+    all_files = glob(os.path.join(split_dir, "*"))
+    all_files.sort(key=lambda file: tuple(file.split("/")[-1].split(".")[1:4]))
+    x, y, b, d = [], [], [], []
+    for file in all_files:
+        data = scipy.io.loadmat(file)
+        n = len(data["sentenceText"])
+        x_i = np.array(
+            [
+                np.concatenate(
+                    [data[f][0, i][:, area_start:area_end] for f in features], axis=1
+                )
+                for i in range(n)
+            ],
+            dtype=object,
+        )
+        y_i = data["sentenceText"]
+        b_i = data["blockIdx"]
+        d_i = [tuple(file.split("/")[-1].split(".")[1:4])] * len(b_i)
+        if zscore_block:
+            for block in set(int(v) for [v] in b_i.tolist()):
+                idx = np.where(b_i == block)[0]
+                cat = np.concatenate(list(x_i[idx]), axis=0)
+                mu, sd = cat.mean(axis=0), cat.std(axis=0)
+                for i in idx:
+                    x_i[i] = (x_i[i] - mu) / sd
+        x.append(x_i)
+        y.append(y_i)
+        b.append(b_i)
+        d += d_i
+    x = np.concatenate(x).tolist()
+    y = np.concatenate(y)
+    b = (np.concatenate(b).squeeze() - 1).tolist()
+    return [
+        {
+            "spikes": x_i.astype(np.float32),
+            "sentence": str(y_i).translate(str.maketrans("", "", _PUNCTUATION)).lower().strip(),
+            "block": b_i,
+            "day": d_i,
+        }
+        for x_i, y_i, b_i, d_i in zip(x, y, b, d)
+    ]
+
+
+def load_competition_data(
+    data_dir: str,
+    day_idxs: Optional[List[int]] = None,
+    zscore_block: bool = False,
+    zscore_day: bool = False,
+    features: Optional[List[str]] = None,
+    area_start: int = 0,
+    area_end: int = 128,
+    **kwargs,
+) -> Dict[str, List[Dict[str, Any]]]:
+    """Splits train/test/competitionHoldOut with day/block indexing and
+    optional per-day z-scoring (reference
+    ``data_utils/speechbci_dataset.py:38-127``). The reference config's
+    ``date_idxs`` key is a typo for ``day_idxs`` (SURVEY.md §5) — we accept
+    both, preferring ``day_idxs``."""
+    if features is None:
+        features = ["tx1", "spikePow"]
+    if day_idxs is None and kwargs.get("date_idxs") is not None:
+        day_idxs = kwargs["date_idxs"]
+
+    splits = ["train", "test", "competitionHoldOut"]
+    dataset_dict = {
+        split: get_split_dict(
+            os.path.join(data_dir, split), zscore_block, features, area_start, area_end
+        )
+        for split in splits
+    }
+
+    all_blocks = set(row["block"] for split in splits for row in dataset_dict[split])
+    all_days = sorted(set(row["day"] for split in splits for row in dataset_dict[split]))
+    if day_idxs is None:
+        day_idxs = list(range(len(all_days)))
+
+    d_to_i = {d: i for i, d in enumerate(all_days)}
+    b_to_i = {b: i for i, b in enumerate(all_blocks)}
+    for split in splits:
+        kept = []
+        for row in dataset_dict[split]:
+            if d_to_i[row["day"]] in day_idxs:
+                row["block_idx"] = np.asarray(b_to_i[row["block"]])
+                row["day_idx"] = np.asarray(d_to_i[row["day"]])
+                kept.append(row)
+        dataset_dict[split] = kept
+
+    if zscore_day:
+        by_day = {
+            i: np.concatenate(
+                [row["spikes"] for row in dataset_dict["train"] if int(row["day_idx"]) == i],
+                axis=0,
+            )
+            for i in day_idxs
+        }
+        mean = {i: v.mean(axis=0) for i, v in by_day.items()}
+        std = {i: v.std(axis=0) for i, v in by_day.items()}
+        for split in splits:
+            for row in dataset_dict[split]:
+                i = int(row["day_idx"])
+                row["spikes"] = (row["spikes"] - mean[i]) / std[i]
+                row["day_mean"] = mean[i]
+                row["day_std"] = std[i]
+
+    return dataset_dict
+
+
+# --------------------------------------------------------------------------
+# Phoneme CTC labels
+# --------------------------------------------------------------------------
+
+def _fallback_g2p() -> Callable[[str], List[str]]:
+    """Crude rule-based grapheme→ARPAbet fallback for when ``g2p_en`` is not
+    installed. Produces *valid vocab tokens* with word boundaries so the CTC
+    pipeline runs end to end, but is NOT linguistically accurate."""
+    letter_map = {
+        "a": ["AE"], "b": ["B"], "c": ["K"], "d": ["D"], "e": ["EH"],
+        "f": ["F"], "g": ["G"], "h": ["HH"], "i": ["IH"], "j": ["JH"],
+        "k": ["K"], "l": ["L"], "m": ["M"], "n": ["N"], "o": ["AA"],
+        "p": ["P"], "q": ["K"], "r": ["R"], "s": ["S"], "t": ["T"],
+        "u": ["AH"], "v": ["V"], "w": ["W"], "x": ["K", "S"],
+        "y": ["Y"], "z": ["Z"], "'": [],
+    }
+
+    def g2p(sentence: str) -> List[str]:
+        out: List[str] = []
+        for w, word in enumerate(sentence.split()):
+            if w > 0:
+                out.append(" ")
+            for ch in word:
+                out.extend(letter_map.get(ch, []))
+        return out
+
+    return g2p
+
+
+def create_phonemes_ctc_labels(
+    dataset: Dict[str, List[Dict[str, Any]]],
+    vocab_file: str,
+    g2p: Optional[Callable[[str], List[str]]] = None,
+) -> Dict[str, List[Dict[str, Any]]]:
+    """Adds ``phonemes`` (list[str]) and ``phonemes_idx`` (np int array) per
+    example: g2p, strip stress digits, ``SIL`` at word ends, map through the
+    41-token vocab (reference ``data_utils/speechbci_dataset.py:142-168``)."""
+    if g2p is None:
+        try:
+            from g2p_en import G2p
+
+            g2p = G2p()
+        except ImportError:
+            import warnings
+
+            warnings.warn(
+                "g2p_en not installed — using a rule-based ARPAbet fallback; "
+                "phoneme labels will NOT match the competition pipeline."
+            )
+            g2p = _fallback_g2p()
+    vocab = json.load(open(vocab_file))
+
+    def s_to_p(s: str) -> List[str]:
+        return [
+            re.sub(r"[0-9]", "", pp) if pp != " " else "SIL"
+            for pp in g2p(s)
+            if re.match(r"[A-Z]+", pp) or pp == " "
+        ] + ["SIL"]
+
+    def p_to_i(p: List[str]) -> List[int]:
+        return [vocab.index(pp) for pp in p]
+
+    for split in dataset:
+        for row in dataset[split]:
+            phonemes = s_to_p(row["sentence"])
+            row["phonemes"] = phonemes
+            row["phonemes_idx"] = np.asarray(p_to_i(phonemes))
+    return dataset
+
+
+# --------------------------------------------------------------------------
+# LLM labels (end-to-end BCI)
+# --------------------------------------------------------------------------
+
+def create_llm_labels(
+    dataset: Dict[str, List[Dict[str, Any]]],
+    tokenizer,
+    prompt: str = "neural activity:#-> sentence:",
+) -> Dict[str, List[Dict[str, Any]]]:
+    """Adds ``input_ids``/``attention_mask``/``input_split``/``labels``:
+    the prompt is split at ``#`` (spike embeddings spliced there) and the
+    sentence tokens carry the loss, −100 elsewhere (reference
+    ``data_utils/speechbci_dataset.py:185-206``)."""
+    part_a, part_b = prompt.split("#")
+    prompt_tokens_a = tokenizer(part_a, return_tensors="np")["input_ids"][0]
+    prompt_tokens_b = tokenizer(part_b, return_tensors="np")["input_ids"][0]
+
+    for split in dataset:
+        for row in dataset[split]:
+            sentence_tokens = tokenizer(
+                row["sentence"] + tokenizer.eos_token, return_tensors="np"
+            )["input_ids"][0]
+            row["input_ids"] = np.concatenate(
+                [prompt_tokens_a, prompt_tokens_b, sentence_tokens], axis=0
+            )
+            row["attention_mask"] = np.ones_like(row["input_ids"])
+            row["input_split"] = np.atleast_1d(prompt_tokens_a.shape[0])
+            row["labels"] = np.concatenate(
+                [
+                    np.full_like(prompt_tokens_a, -100),
+                    np.full_like(prompt_tokens_b, -100),
+                    sentence_tokens,
+                ],
+                axis=0,
+            )
+    return dataset

@@ -1,0 +1,390 @@
+"""Llama decoder stack in JAX/flax — the BCI workload's LLM trunk.
+
+TPU-native replacement for the reference's HF ``AutoModelForCausalLM``
+Llama-2 (+ LoRA via peft) usage (``models/bci.py:11,51-63``):
+
+* bf16 compute / fp32 master params policy instead of the reference's
+  force-fp16 cast (``models/bci.py:71``) — bf16 is the MXU-native dtype.
+* GQA attention through :func:`llm_bci_tpu.ops.attention.dot_product_attention`.
+* LoRA as first-class factored params on selected Dense layers
+  (``LoRADense``) — the frozen/trainable split is an optimizer mask
+  (see :func:`lora_trainable_mask`), the TPU analog of peft's
+  requires_grad partition.
+* functional KV cache (explicit pytree in/out) so generation jits with
+  static shapes; weights shard over the ``fsdp`` mesh axis (ZeRO-3
+  equivalent for the reference's ``deepspeed/kai.yaml`` recipe).
+
+HF weight import for real Llama-2 checkpoints: :func:`load_hf_llama_params`.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from llm_bci_tpu.ops.attention import dot_product_attention
+from llm_bci_tpu.ops.rotary import apply_rotary_pos_emb, rope_cos_sin
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: Optional[int] = None
+    max_position_embeddings: int = 4096
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    tie_word_embeddings: bool = False
+
+    @property
+    def n_kv(self) -> int:
+        return self.num_key_value_heads or self.num_attention_heads
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @classmethod
+    def debug(cls) -> "LlamaConfig":
+        """Tiny config mirroring the reference's debug fixture
+        (``models/bci.py:51-53``): 2 layers / 32 hidden / 4 heads."""
+        return cls(
+            vocab_size=32000,
+            hidden_size=32,
+            intermediate_size=32,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+        )
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "LlamaConfig":
+        names = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in names})
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        dtype = x.dtype
+        x = x.astype(jnp.float32)
+        var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+        x = x * jax.lax.rsqrt(var + self.eps)
+        w = self.param("weight", nn.initializers.ones, (x.shape[-1],))
+        return (w * x).astype(dtype)
+
+
+class LoRADense(nn.Module):
+    """Dense with optional LoRA adapter: ``y = xW + (alpha/r) * drop(x)AB``.
+    The base ``kernel`` is frozen via the optimizer mask; A/B train."""
+
+    features: int
+    use_bias: bool = False
+    r: int = 0
+    alpha: float = 32.0
+    lora_dropout: float = 0.0
+    freeze_base: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.normal(0.02), (in_features, self.features)
+        ).astype(self.dtype)
+        if self.r > 0 or self.freeze_base:
+            # Frozen base (peft semantics / freeze_llm): stop_gradient lets
+            # XLA prune the dW matmul in backward — the optimizer mask alone
+            # would still pay for it.
+            kernel = jax.lax.stop_gradient(kernel)
+        y = x @ kernel
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.r > 0 or self.freeze_base:
+                bias = jax.lax.stop_gradient(bias)
+            y = y + bias.astype(self.dtype)
+        if self.r > 0:
+            a = self.param(
+                "lora_A",
+                nn.initializers.normal(1.0 / max(self.r, 1)),
+                (in_features, self.r),
+            ).astype(self.dtype)
+            b = self.param("lora_B", nn.initializers.zeros, (self.r, self.features)).astype(
+                self.dtype
+            )
+            h = nn.Dropout(self.lora_dropout, deterministic=not training)(x)
+            y = y + (self.alpha / self.r) * ((h @ a) @ b)
+        return y
+
+
+def lora_trainable_mask(params: Any, freeze_all_base: bool) -> Any:
+    """Bool pytree: True = trainable. With LoRA, only ``lora_A``/``lora_B``
+    leaves under the LLM train (peft semantics); ``freeze_all_base`` freezes
+    every non-LoRA LLM leaf (reference ``freeze_llm``, ``models/bci.py:65-67``)."""
+
+    def mask(path, leaf):
+        names = [str(getattr(p, "key", "")) for p in path]
+        if any(n.startswith("lora_") for n in names):
+            return True
+        return not freeze_all_base
+
+    return jax.tree_util.tree_map_with_path(mask, params)
+
+
+def make_causal_padding_mask(
+    attention_mask: jax.Array,  # (B, S) 1 = valid keys
+    q_len: int,
+    q_offset: jax.Array | int = 0,
+) -> jax.Array:  # (B, 1, q_len, S) bool
+    """Causal + padding mask: query at absolute position ``q_offset + i`` may
+    attend to key j iff ``j <= q_offset + i`` and key j is valid."""
+    B, S = attention_mask.shape
+    j = jnp.arange(S)[None, :]
+    i = jnp.arange(q_len)[:, None] + q_offset
+    causal = j <= i                                        # (q_len, S)
+    mask = causal[None, :, :] & attention_mask.astype(bool)[:, None, :]
+    return mask[:, None, :, :]
+
+
+class LlamaAttention(nn.Module):
+    config: LlamaConfig
+    lora_r: int = 0
+    lora_alpha: float = 32.0
+    lora_dropout: float = 0.0
+    lora_targets: Tuple[str, ...] = ()
+    freeze_base: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,                       # (B, T, H)
+        mask: jax.Array,                    # (B, 1, T, S) bool
+        positions: jax.Array,               # (B, T)
+        cache: Optional[Dict[str, jax.Array]] = None,
+        cache_index: Optional[jax.Array] = None,
+        training: bool = False,
+    ) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
+        cfg = self.config
+        B, T, _ = x.shape
+        H, nH, nKV, hd = cfg.hidden_size, cfg.num_attention_heads, cfg.n_kv, cfg.head_dim
+
+        def proj(name, out):
+            r = self.lora_r if name in self.lora_targets else 0
+            return LoRADense(
+                out, r=r, alpha=self.lora_alpha, lora_dropout=self.lora_dropout,
+                freeze_base=self.freeze_base, dtype=self.dtype, name=name,
+            )
+
+        q = proj("q_proj", nH * hd)(x, training).reshape(B, T, nH, hd)
+        k = proj("k_proj", nKV * hd)(x, training).reshape(B, T, nKV, hd)
+        v = proj("v_proj", nKV * hd)(x, training).reshape(B, T, nKV, hd)
+
+        cos, sin = rope_cos_sin(hd, cfg.max_position_embeddings, cfg.rope_theta)
+        qh = q.transpose(0, 2, 1, 3)
+        kh = k.transpose(0, 2, 1, 3)
+        qh, kh = apply_rotary_pos_emb(qh, kh, positions, jnp.asarray(cos), jnp.asarray(sin))
+        q = qh.transpose(0, 2, 1, 3).astype(self.dtype)
+        k = kh.transpose(0, 2, 1, 3).astype(self.dtype)
+
+        new_cache = None
+        if cache is not None:
+            # Functional KV cache: write new keys/values at cache_index.
+            k_cache = jax.lax.dynamic_update_slice(cache["k"], k, (0, cache_index, 0, 0))
+            v_cache = jax.lax.dynamic_update_slice(cache["v"], v, (0, cache_index, 0, 0))
+            new_cache = {"k": k_cache, "v": v_cache}
+            k, v = k_cache, v_cache
+
+        if nKV != nH:
+            rep = nH // nKV
+            k = jnp.repeat(k, rep, axis=2)
+            v = jnp.repeat(v, rep, axis=2)
+
+        out = dot_product_attention(q, k, v, mask=mask)
+        out = out.reshape(B, T, nH * hd)
+        out = proj("o_proj", H)(out, training)
+        return out, new_cache
+
+
+class LlamaMLP(nn.Module):
+    config: LlamaConfig
+    lora_r: int = 0
+    lora_alpha: float = 32.0
+    lora_dropout: float = 0.0
+    lora_targets: Tuple[str, ...] = ()
+    freeze_base: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
+        cfg = self.config
+
+        def proj(name, out):
+            r = self.lora_r if name in self.lora_targets else 0
+            return LoRADense(
+                out, r=r, alpha=self.lora_alpha, lora_dropout=self.lora_dropout,
+                freeze_base=self.freeze_base, dtype=self.dtype, name=name,
+            )
+
+        gate = proj("gate_proj", cfg.intermediate_size)(x, training)
+        up = proj("up_proj", cfg.intermediate_size)(x, training)
+        return proj("down_proj", cfg.hidden_size)(nn.silu(gate) * up, training)
+
+
+class LlamaDecoderLayer(nn.Module):
+    config: LlamaConfig
+    lora_r: int = 0
+    lora_alpha: float = 32.0
+    lora_dropout: float = 0.0
+    lora_targets: Tuple[str, ...] = ()
+    freeze_base: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, mask, positions, cache=None, cache_index=None, training=False):
+        h, new_cache = LlamaAttention(
+            self.config, self.lora_r, self.lora_alpha, self.lora_dropout,
+            self.lora_targets, self.freeze_base, self.dtype, name="self_attn",
+        )(
+            RMSNorm(self.config.rms_norm_eps, name="input_layernorm")(x),
+            mask, positions, cache, cache_index, training,
+        )
+        x = x + h
+        h = LlamaMLP(
+            self.config, self.lora_r, self.lora_alpha, self.lora_dropout,
+            self.lora_targets, self.freeze_base, self.dtype, name="mlp",
+        )(RMSNorm(self.config.rms_norm_eps, name="post_attention_layernorm")(x), training)
+        return x + h, new_cache
+
+
+class LlamaForCausalLM(nn.Module):
+    """Causal LM over token ids or pre-spliced ``inputs_embeds`` — the BCI
+    path always uses embeds (reference ``models/bci.py:192-196``)."""
+
+    config: LlamaConfig
+    lora_r: int = 0
+    lora_alpha: float = 32.0
+    lora_dropout: float = 0.0
+    lora_targets: Tuple[str, ...] = ()
+    freeze_base: bool = False
+    dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        cfg = self.config
+        self.embed_tokens = nn.Embed(
+            cfg.vocab_size, cfg.hidden_size,
+            embedding_init=nn.initializers.normal(0.02), name="embed_tokens",
+        )
+        self.layers = [
+            LlamaDecoderLayer(
+                cfg, self.lora_r, self.lora_alpha, self.lora_dropout,
+                self.lora_targets, self.freeze_base, self.dtype, name=f"layers_{i}",
+            )
+            for i in range(cfg.num_hidden_layers)
+        ]
+        self.norm = RMSNorm(cfg.rms_norm_eps, name="norm")
+        if not cfg.tie_word_embeddings:
+            self.lm_head = nn.Dense(
+                cfg.vocab_size, use_bias=False,
+                kernel_init=nn.initializers.normal(0.02), name="lm_head",
+            )
+
+    def embed(self, input_ids: jax.Array) -> jax.Array:
+        return self.embed_tokens(input_ids)
+
+    def __call__(
+        self,
+        input_ids: Optional[jax.Array] = None,       # (B, T)
+        inputs_embeds: Optional[jax.Array] = None,   # (B, T, H)
+        attention_mask: Optional[jax.Array] = None,  # (B, S) over keys
+        positions: Optional[jax.Array] = None,       # (B, T)
+        cache: Optional[Tuple[Dict[str, jax.Array], ...]] = None,
+        cache_index: Optional[jax.Array] = None,
+        training: bool = False,
+    ):
+        if inputs_embeds is None:
+            inputs_embeds = self.embed_tokens(input_ids)
+        x = inputs_embeds.astype(self.dtype)
+        B, T, _ = x.shape
+        S = attention_mask.shape[1] if attention_mask is not None else T
+        if attention_mask is None:
+            attention_mask = jnp.ones((B, S), jnp.int32)
+        q_offset = cache_index if cache_index is not None else 0
+        mask = make_causal_padding_mask(attention_mask, T, q_offset)
+        if positions is None:
+            positions = jnp.arange(T)[None, :] + q_offset
+            positions = jnp.broadcast_to(positions, (B, T))
+
+        new_caches = []
+        for i, layer in enumerate(self.layers):
+            layer_cache = cache[i] if cache is not None else None
+            x, new_cache = layer(x, mask, positions, layer_cache, cache_index, training)
+            new_caches.append(new_cache)
+        x = self.norm(x)
+
+        if self.config.tie_word_embeddings:
+            logits = x @ self.embed_tokens.embedding.T.astype(self.dtype)
+        else:
+            logits = self.lm_head(x)
+        logits = logits.astype(jnp.float32)
+        return (logits, tuple(new_caches) if cache is not None else None)
+
+    def init_cache(self, batch_size: int, max_len: int):
+        cfg = self.config
+        layer = lambda: {
+            "k": jnp.zeros((batch_size, max_len, cfg.n_kv, cfg.head_dim), self.dtype),
+            "v": jnp.zeros((batch_size, max_len, cfg.n_kv, cfg.head_dim), self.dtype),
+        }
+        return tuple(layer() for _ in range(cfg.num_hidden_layers))
+
+
+# ---------------------------------------------------------------------------
+# HF weight import
+# ---------------------------------------------------------------------------
+
+def load_hf_llama_params(model_dir: str, config: LlamaConfig) -> Dict:
+    """Convert a HF torch Llama checkpoint into this module's param pytree.
+    Host-side, torch-cpu only (weights then get device_put with shardings)."""
+    import torch
+    from transformers import AutoModelForCausalLM
+
+    hf = AutoModelForCausalLM.from_pretrained(model_dir, torch_dtype=torch.float32)
+    sd = hf.state_dict()
+
+    def t(name):
+        return np.asarray(sd[name].numpy())
+
+    params: Dict[str, Any] = {
+        "embed_tokens": {"embedding": t("model.embed_tokens.weight")},
+        "norm": {"weight": t("model.norm.weight")},
+    }
+    if not config.tie_word_embeddings:
+        params["lm_head"] = {"kernel": t("lm_head.weight").T}
+    for i in range(config.num_hidden_layers):
+        p = f"model.layers.{i}."
+        params[f"layers_{i}"] = {
+            "input_layernorm": {"weight": t(p + "input_layernorm.weight")},
+            "post_attention_layernorm": {
+                "weight": t(p + "post_attention_layernorm.weight")
+            },
+            "self_attn": {
+                "q_proj": {"kernel": t(p + "self_attn.q_proj.weight").T},
+                "k_proj": {"kernel": t(p + "self_attn.k_proj.weight").T},
+                "v_proj": {"kernel": t(p + "self_attn.v_proj.weight").T},
+                "o_proj": {"kernel": t(p + "self_attn.o_proj.weight").T},
+            },
+            "mlp": {
+                "gate_proj": {"kernel": t(p + "mlp.gate_proj.weight").T},
+                "up_proj": {"kernel": t(p + "mlp.up_proj.weight").T},
+                "down_proj": {"kernel": t(p + "mlp.down_proj.weight").T},
+            },
+        }
+    return params

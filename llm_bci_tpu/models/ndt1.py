@@ -1,0 +1,735 @@
+"""NDT1 — transformer encoder over time-binned spikes (TPU-native rebuild).
+
+Functional parity with the reference ``models/ndt1.py`` (flagship model for
+mlm / autoregressive SSL and CTC phoneme decoding), redesigned for JAX/XLA:
+
+* flax.linen module tree; parameters are a pytree sharded via
+  :mod:`llm_bci_tpu.parallel` partition rules (FSDP instead of ZeRO).
+* ``nn.Unfold`` temporal stacking (reference ``models/ndt1.py:133-142``)
+  becomes a static strided gather + reshape — a pure layout op XLA folds
+  into the following projection matmul.
+* per-day ``adapt`` embedding (reference ``models/ndt1.py:123-130``: a python
+  loop over per-day ``nn.Linear``) becomes one batched einsum over a stacked
+  ``(n_days, n_channels, input_dim)`` weight — no host loop, MXU-friendly.
+* attention routes through :func:`llm_bci_tpu.ops.attention.dot_product_attention`
+  (XLA fused SDPA now, Pallas flash kernel switchable) with the combined
+  banded-context + padding + self-attend mask of ``models/ndt1.py:435-437``.
+* stochastic pieces (white/offset noise ``models/ndt1.py:99-104``, maskers,
+  dropout) draw from named flax RNG streams — deterministic eval by default.
+
+Deliberate deviation: attention-probability dropout (``models/ndt1.py:289``)
+is folded into output dropout so the attention kernel stays a single fused
+op; recorded per SURVEY.md §7 "hard parts (d)".
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+from flax import linen as nn
+from flax.core import unfreeze
+
+from llm_bci_tpu.config import DictConfig, update_config, to_plain_dict, resolve_path
+from llm_bci_tpu.model_output import ModelOutput
+from llm_bci_tpu.models.masker import MaskerConfig, apply_maskers
+from llm_bci_tpu.ops.attention import dot_product_attention, make_attention_mask
+from llm_bci_tpu.ops.context import create_context_mask
+from llm_bci_tpu.ops.ctc import ctc_loss
+from llm_bci_tpu.ops.losses import mse_loss, poisson_nll_loss
+from llm_bci_tpu.ops.rotary import apply_rotary_pos_emb, rope_cos_sin
+from llm_bci_tpu.ops.smoothing import gaussian_kernel, smooth_spikes
+from llm_bci_tpu.registry import register_model
+
+DEFAULT_CONFIG = "configs/ndt1.yaml"
+
+ACT2FN: Dict[str, Callable] = {
+    "softsign": nn.soft_sign,
+    "gelu": nn.gelu,
+    "relu": nn.relu,
+    "silu": nn.silu,
+    "tanh": jnp.tanh,
+    "identity": lambda x: x,
+}
+
+
+def torch_linear_kernel_init(scale: float = 1.0):
+    """Kaiming-uniform kernel init matching ``torch.nn.Linear`` defaults
+    (uniform in ±1/sqrt(fan_in)), with an optional fixup scale
+    (``models/ndt1.py:332-344``)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        fan_in = shape[0]
+        bound = scale / np.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def torch_linear_bias_init(fan_in: int):
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / np.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class NDT1Output(ModelOutput):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Layers
+# ---------------------------------------------------------------------------
+
+
+class SmoothAndNoise(nn.Module):
+    """Gaussian temporal smoothing + train-time white/constant-offset noise
+    (reference ``models/ndt1.py:78-107``). Pure elementwise + depthwise conv;
+    XLA fuses it into the embedding matmul's prologue."""
+
+    noise: bool
+    smooth_sd: Optional[float]
+    white_noise_sd: Optional[float]
+    constant_offset_sd: Optional[float]
+
+    @nn.compact
+    def __call__(self, spikes: jax.Array, training: bool) -> jax.Array:
+        B, T, N = spikes.shape
+        if self.smooth_sd is not None:
+            kernel = jnp.asarray(gaussian_kernel(self.smooth_sd))
+            spikes = smooth_spikes(spikes, kernel)
+        if self.noise and training:
+            if self.white_noise_sd is not None:
+                key = self.make_rng("noise")
+                spikes = spikes + self.white_noise_sd * jax.random.normal(
+                    key, (B, T, N), spikes.dtype
+                )
+            if self.constant_offset_sd is not None:
+                key = self.make_rng("noise")
+                spikes = spikes + self.constant_offset_sd * jax.random.normal(
+                    key, (B, 1, N), spikes.dtype
+                )
+        return spikes
+
+
+def stack_timesteps(x: jax.Array, size: int, stride: int) -> jax.Array:
+    """Temporal stacking: frame ``t'`` concatenates bins
+    ``[t'*stride, t'*stride + size)`` along features. Replaces the reference
+    ``nn.Unfold`` (``models/ndt1.py:133-142,179-183``) with a static gather —
+    XLA lowers it to a strided load feeding the projection matmul."""
+    B, T, D = x.shape
+    L = 1 + (T - size) // stride
+    idx = np.arange(L)[:, None] * stride + np.arange(size)[None, :]   # (L, size)
+    frames = x[:, idx, :]                                             # (B, L, size, D)
+    return frames.reshape(B, L, size * D)
+
+
+def stacked_lengths(lengths: jax.Array, size: int, stride: int, active: bool) -> jax.Array:
+    """Sequence lengths after stacking (reference ``models/ndt1.py:207-208``)."""
+    if not active:
+        return lengths
+    return (1 + (lengths - size) // stride).astype(lengths.dtype)
+
+
+class NeuralEmbeddingLayer(nn.Module):
+    """Spike embedding: (per-day) linear, activation, temporal stacking,
+    learned positional embedding, optional day/block prefix tokens
+    (reference ``models/ndt1.py:110-204``)."""
+
+    hidden_size: int
+    n_channels: int
+    n_blocks: int
+    n_days: int
+    max_F: int
+    input_dim: int
+    adapt: bool
+    day_token: bool
+    block_token: bool
+    pos: bool
+    act: str
+    use_bias: bool
+    dropout: float
+    stack_active: bool
+    stack_size: int
+    stack_stride: int
+
+    @nn.compact
+    def __call__(
+        self,
+        spikes: jax.Array,            # (B, T, N)
+        spikes_mask: jax.Array,       # (B, T)
+        spikes_timestamp: jax.Array,  # (B, T)
+        block_idx: Optional[jax.Array],
+        day_idx: Optional[jax.Array],
+        training: bool,
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        if self.adapt:
+            # Stacked per-day weights; one einsum instead of a host loop over
+            # per-day nn.Linear (reference models/ndt1.py:123-130,170).
+            w = self.param(
+                "embed_spikes_days",
+                torch_linear_kernel_init(),
+                (self.n_days, self.n_channels, self.input_dim),
+            )
+            x = jnp.einsum("btc,bcd->btd", spikes, w[day_idx])
+            if self.use_bias:
+                b = self.param(
+                    "embed_spikes_days_bias",
+                    torch_linear_bias_init(self.n_channels),
+                    (self.n_days, self.input_dim),
+                )
+                x = x + b[day_idx][:, None, :]
+        else:
+            x = nn.Dense(
+                self.input_dim,
+                use_bias=self.use_bias,
+                kernel_init=torch_linear_kernel_init(),
+                bias_init=torch_linear_bias_init(self.n_channels),
+                name="embed_spikes",
+            )(spikes)
+
+        x = ACT2FN[self.act](x)
+
+        if self.stack_active:
+            x = stack_timesteps(x, self.stack_size, self.stack_stride)
+            x = nn.Dense(
+                self.hidden_size,
+                kernel_init=torch_linear_kernel_init(),
+                bias_init=torch_linear_bias_init(self.input_dim * self.stack_size),
+                name="stack_projection",
+            )(x)
+            L = x.shape[1]
+            spikes_timestamp = spikes_timestamp[:, :L]
+            # A stacked frame is valid only if every source bin was valid
+            # (reference models/ndt1.py:181-183 prod over the unfold window).
+            mask_frames = stack_timesteps(
+                spikes_mask[:, :, None].astype(jnp.float32),
+                self.stack_size,
+                self.stack_stride,
+            )
+            spikes_mask = jnp.prod(mask_frames, axis=-1).astype(spikes_mask.dtype)
+        else:
+            x = nn.Dense(
+                self.hidden_size,
+                kernel_init=torch_linear_kernel_init(),
+                bias_init=torch_linear_bias_init(self.input_dim),
+                name="projection",
+            )(x)
+
+        if self.pos:
+            pos_table = self.param(
+                "embed_pos", nn.initializers.normal(1.0), (self.max_F, self.hidden_size)
+            )
+            x = x + pos_table[spikes_timestamp]
+
+        if self.block_token:
+            block_table = self.param(
+                "block_embedding", nn.initializers.normal(1.0), (self.n_blocks, self.hidden_size)
+            )
+            x = jnp.concatenate([block_table[block_idx][:, None, :], x], axis=1)
+            spikes_mask = jnp.concatenate(
+                [jnp.ones_like(spikes_mask[:, :1]), spikes_mask], axis=1
+            )
+
+        if self.day_token:
+            day_table = self.param(
+                "day_embedding", nn.initializers.normal(1.0), (self.n_days, self.hidden_size)
+            )
+            x = jnp.concatenate([day_table[day_idx][:, None, :], x], axis=1)
+            spikes_mask = jnp.concatenate(
+                [jnp.ones_like(spikes_mask[:, :1]), spikes_mask], axis=1
+            )
+
+        x = nn.Dropout(self.dropout, deterministic=not training)(x)
+        return x, spikes_mask, spikes_timestamp
+
+
+class NeuralAttention(nn.Module):
+    """Multi-head self-attention with optional RoPE; masks/bias handled by
+    :func:`llm_bci_tpu.ops.attention.dot_product_attention`
+    (reference ``models/ndt1.py:232-292``)."""
+
+    hidden_size: int
+    n_heads: int
+    use_bias: bool
+    dropout: float
+    use_rope: bool
+    rope_theta: float
+    max_F: int
+    n_layers: int
+    fixup_init: bool
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,               # (B, T, H)
+        attn_mask: jax.Array,       # (B, 1, T, T) bool
+        timestamp: Optional[jax.Array],
+        training: bool,
+    ) -> jax.Array:
+        B, T, _ = x.shape
+        head_size = self.hidden_size // self.n_heads
+        assert self.hidden_size % self.n_heads == 0
+
+        fixup = 0.67 * self.n_layers ** (-0.25) if self.fixup_init else 1.0
+        dense = lambda name, scale=1.0: nn.Dense(
+            self.hidden_size,
+            use_bias=self.use_bias,
+            kernel_init=torch_linear_kernel_init(scale),
+            bias_init=torch_linear_bias_init(self.hidden_size),
+            name=name,
+        )
+        q = dense("query")(x).reshape(B, T, self.n_heads, head_size)
+        k = dense("key")(x).reshape(B, T, self.n_heads, head_size)
+        v = dense("value", fixup * (2**0.5) if self.fixup_init else 1.0)(x).reshape(
+            B, T, self.n_heads, head_size
+        )
+
+        if self.use_rope:
+            cos, sin = rope_cos_sin(head_size, self.max_F, self.rope_theta)
+            qh = q.transpose(0, 2, 1, 3)
+            kh = k.transpose(0, 2, 1, 3)
+            qh, kh = apply_rotary_pos_emb(qh, kh, timestamp, jnp.asarray(cos), jnp.asarray(sin))
+            q = qh.transpose(0, 2, 1, 3)
+            k = kh.transpose(0, 2, 1, 3)
+
+        out = dot_product_attention(q, k, v, mask=attn_mask)
+        out = out.reshape(B, T, self.hidden_size)
+        out = nn.Dropout(self.dropout, deterministic=not training)(out)
+        return dense("out_proj", fixup)(out)
+
+
+class NeuralMLP(nn.Module):
+    """Up-proj → act → down-proj → dropout (reference ``models/ndt1.py:214-227``)."""
+
+    hidden_size: int
+    inter_size: int
+    act: str
+    use_bias: bool
+    dropout: float
+    fixup_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, training: bool) -> jax.Array:
+        x = nn.Dense(
+            self.inter_size,
+            use_bias=self.use_bias,
+            kernel_init=torch_linear_kernel_init(),
+            bias_init=torch_linear_bias_init(self.hidden_size),
+            name="up_proj",
+        )(x)
+        x = ACT2FN[self.act](x)
+        x = nn.Dense(
+            self.hidden_size,
+            use_bias=self.use_bias,
+            kernel_init=torch_linear_kernel_init(self.fixup_scale),
+            bias_init=torch_linear_bias_init(self.inter_size),
+            name="down_proj",
+        )(x)
+        return nn.Dropout(self.dropout, deterministic=not training)(x)
+
+
+class NeuralEncoderLayer(nn.Module):
+    """Pre-LN block: LN→attn→residual, LN→MLP→residual
+    (reference ``models/ndt1.py:299-329``)."""
+
+    max_F: int
+    cfg: Any  # transformer sub-config (hashable DictConfig snapshot)
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        attn_mask: jax.Array,
+        timestamp: Optional[jax.Array],
+        training: bool,
+    ) -> jax.Array:
+        c = self.cfg
+        fixup = 0.67 * c["n_layers"] ** (-0.25) if c["fixup_init"] else 1.0
+        x = x + NeuralAttention(
+            hidden_size=c["hidden_size"],
+            n_heads=c["n_heads"],
+            use_bias=c["attention_bias"],
+            dropout=c["dropout"],
+            use_rope=c["use_rope"],
+            rope_theta=c["rope_theta"],
+            max_F=self.max_F,
+            n_layers=c["n_layers"],
+            fixup_init=c["fixup_init"],
+            name="attn",
+        )(nn.LayerNorm(name="ln1")(x), attn_mask, timestamp if c["use_rope"] else None, training)
+        x = x + NeuralMLP(
+            hidden_size=c["hidden_size"],
+            inter_size=c["inter_size"],
+            act=c["act"],
+            use_bias=c["mlp_bias"],
+            dropout=c["dropout"],
+            fixup_scale=fixup,
+            name="mlp",
+        )(nn.LayerNorm(name="ln2")(x), training)
+        return x
+
+
+class NeuralFactorsProjection(nn.Module):
+    """Optional projection to a low-dim factor space
+    (reference ``models/ndt1.py:348-373``)."""
+
+    hidden_size: int
+    active: bool
+    size: int
+    act: str
+    use_bias: bool
+    dropout: float
+    fixup_init: bool
+    init_range: float
+
+    @property
+    def out_size(self) -> int:
+        return self.size if self.active else self.hidden_size
+
+    @nn.compact
+    def __call__(self, x: jax.Array, training: bool) -> jax.Array:
+        x = nn.Dropout(self.dropout, deterministic=not training)(x)
+        if not self.active:
+            return x
+        kernel_init = (
+            nn.initializers.uniform(scale=2 * self.init_range)
+            if self.fixup_init
+            else torch_linear_kernel_init()
+        )
+        # uniform(scale) is [0, scale); recenter to ±init_range when fixup.
+        if self.fixup_init:
+            base = kernel_init
+
+            def kernel_init(key, shape, dtype=jnp.float32):  # noqa: F811
+                return base(key, shape, dtype) - self.init_range
+
+        x = nn.Dense(
+            self.size,
+            use_bias=self.use_bias,
+            kernel_init=kernel_init,
+            bias_init=nn.initializers.zeros if self.fixup_init else torch_linear_bias_init(self.hidden_size),
+            name="proj",
+        )(x)
+        return ACT2FN[self.act](x)
+
+
+class NeuralEncoder(nn.Module):
+    """Full NDT1 trunk: smooth+noise → maskers → embed/stack → transformer →
+    out-norm → factors projection (reference ``models/ndt1.py:376-450``)."""
+
+    config: Any  # plain-dict encoder config snapshot
+
+    def setup(self):
+        cfg = self.config
+        emb = cfg["embedder"]
+        tr = cfg["transformer"]
+        self.masker_cfgs = tuple(
+            MaskerConfig.from_config(DictConfig(m)) for m in cfg["masker"].values()
+        )
+        self.context_mask_np = create_context_mask(
+            cfg["context"]["forward"], cfg["context"]["backward"], emb["max_F"]
+        )
+        self.smooth_and_noise = SmoothAndNoise(
+            noise=cfg["smooth_and_noise"]["noise"],
+            smooth_sd=cfg["smooth_and_noise"]["smooth_sd"],
+            white_noise_sd=cfg["smooth_and_noise"]["white_noise_sd"],
+            constant_offset_sd=cfg["smooth_and_noise"]["constant_offset_sd"],
+        )
+        self.embedder = NeuralEmbeddingLayer(
+            hidden_size=tr["hidden_size"],
+            n_channels=emb["n_channels"],
+            n_blocks=emb["n_blocks"],
+            n_days=emb["n_days"],
+            max_F=emb["max_F"],
+            input_dim=emb["input_dim"],
+            adapt=emb["adapt"],
+            day_token=emb["day_token"],
+            block_token=emb["block_token"],
+            pos=emb["pos"],
+            act=emb["act"],
+            use_bias=emb["bias"],
+            dropout=emb["dropout"],
+            stack_active=emb["stack"]["active"],
+            stack_size=emb["stack"]["size"],
+            stack_stride=emb["stack"]["stride"],
+        )
+        self.layers = [
+            NeuralEncoderLayer(max_F=emb["max_F"], cfg=tr, name=f"layer_{i}")
+            for i in range(tr["n_layers"])
+        ]
+        self.out_norm = nn.LayerNorm(name="out_norm")
+        fac = cfg["factors"]
+        self.out_proj = NeuralFactorsProjection(
+            hidden_size=tr["hidden_size"],
+            active=fac["active"],
+            size=fac["size"],
+            act=fac["act"],
+            use_bias=fac["bias"],
+            dropout=fac["dropout"],
+            fixup_init=fac["fixup_init"],
+            init_range=fac["init_range"],
+        )
+
+    def __call__(
+        self,
+        spikes: jax.Array,            # (B, T, N)
+        spikes_mask: jax.Array,       # (B, T)
+        spikes_timestamp: jax.Array,  # (B, T)
+        spikes_lengths: jax.Array,    # (B,)
+        block_idx: Optional[jax.Array] = None,
+        day_idx: Optional[jax.Array] = None,
+        training: bool = False,
+        neuron_regions_idx: Optional[jax.Array] = None,
+        masker_overrides: Optional[dict] = None,
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        B, T, N = spikes.shape
+        remat = bool(self.config.get("remat", False))
+
+        spikes = self.smooth_and_noise(spikes, training)
+
+        if self.masker_cfgs:
+            key = (
+                self.make_rng("mask")
+                if training or any(c.force_active for c in self.masker_cfgs)
+                else jax.random.PRNGKey(0)
+            )
+            spikes, targets_mask = apply_maskers(
+                self.masker_cfgs,
+                spikes,
+                key,
+                training,
+                neuron_regions_idx=neuron_regions_idx,
+                overrides=masker_overrides,
+            )
+        else:
+            targets_mask = jnp.zeros(spikes.shape, dtype=jnp.int32)
+
+        x, spikes_mask, spikes_timestamp = self.embedder(
+            spikes, spikes_mask, spikes_timestamp, block_idx, day_idx, training
+        )
+        Tn = x.shape[1]
+
+        context = jnp.asarray(self.context_mask_np[:Tn, :Tn])
+        attn_mask = make_attention_mask(spikes_mask, context)
+
+        for layer in self.layers:
+            if remat:
+                x = nn.remat(NeuralEncoderLayer.__call__, static_argnums=(4,))(
+                    layer, x, attn_mask, spikes_timestamp, training
+                )
+            else:
+                x = layer(x, attn_mask, spikes_timestamp, training)
+        x = self.out_norm(x)
+
+        # Drop day/block prefix tokens (reference models/ndt1.py:444-448).
+        if self.embedder.day_token:
+            x = x[:, 1:, :]
+        if self.embedder.block_token:
+            x = x[:, 1:, :]
+
+        return self.out_proj(x, training), spikes_mask, targets_mask
+
+
+# ---------------------------------------------------------------------------
+# NDT1 with method heads
+# ---------------------------------------------------------------------------
+
+
+@register_model("NDT1")
+class NDT1(nn.Module):
+    """NDT1 with method-specific decoder head and loss
+    (reference ``models/ndt1.py:455-693``).
+
+    ``method_name`` in {"mlm", "autoregressive", "ctc", "endtoend"}; method
+    kwargs arrive via ``config.method.model_kwargs`` exactly as in the
+    reference trainer.
+    """
+
+    config: Any        # plain-dict model config (with "encoder"/"decoder")
+    method_name: str
+    loss: str = "poisson_nll"
+    log_input: bool = True
+    vocab_size: int = 41
+    blank_id: int = 0
+    zero_infinity: bool = True
+
+    @classmethod
+    def from_config(cls, model_config, **method_kwargs) -> "NDT1":
+        """Build from a trainer-style config, merging over the default yaml
+        and applying ``from_pt`` config re-merge (reference
+        ``models/ndt1.py:463-476``). Returns the module; weights warm-start
+        happens in :meth:`load_checkpoint_params`."""
+        cfg = update_config(resolve_path(DEFAULT_CONFIG), model_config)
+        enc_pt = cfg["encoder"].get("from_pt")
+        if enc_pt:
+            saved = yaml.safe_load(open(os.path.join(enc_pt, "encoder_config.yaml")))
+            cfg["encoder"] = update_config(cfg["encoder"], saved)
+            cfg["encoder"]["from_pt"] = enc_pt
+        kwargs = {k: v for k, v in method_kwargs.items() if k in (
+            "method_name", "loss", "log_input", "vocab_size", "blank_id", "zero_infinity"
+        )}
+        return cls(config=to_plain_dict(cfg), **kwargs)
+
+    def setup(self):
+        method = self.method_name
+        enc = self.config["encoder"]
+        if method == "mlm":
+            if not any(m.get("active", True) for m in enc["masker"].values()):
+                raise ValueError("Can't pretrain with inactive masking")
+            if enc["embedder"]["stack"]["active"]:
+                raise ValueError("Can't pretrain with stacked inputs")
+            n_outputs = enc["embedder"]["n_channels"]
+        elif method == "autoregressive":
+            if enc["context"]["forward"] != 0:
+                raise ValueError("Autoregressive training requires context.forward == 0")
+            if enc["embedder"]["stack"]["active"]:
+                raise ValueError("Can't train autoregressive with stacked inputs")
+            n_outputs = enc["embedder"]["n_channels"]
+        elif method in ("ctc", "endtoend"):
+            n_outputs = self.vocab_size
+        else:
+            raise ValueError(f"Method {method} not implemented yet for NDT1")
+
+        self.encoder = NeuralEncoder(config=enc, name="encoder")
+        fac = enc["factors"]
+        out_size = fac["size"] if fac["active"] else enc["transformer"]["hidden_size"]
+        self.decoder = nn.Dense(
+            n_outputs,
+            kernel_init=torch_linear_kernel_init(),
+            bias_init=torch_linear_bias_init(out_size),
+            name="decoder",
+        )
+
+    def _decode(self, x: jax.Array) -> jax.Array:
+        preds = self.decoder(x)
+        method = self.method_name
+        if method in ("mlm", "autoregressive") and (
+            self.loss == "mse" or not self.log_input
+        ):
+            preds = nn.relu(preds)
+        elif method in ("ctc", "endtoend"):
+            preds = nn.log_softmax(preds, axis=-1)
+        return preds
+
+    def _ssl_loss(self, preds: jax.Array, targets: jax.Array) -> jax.Array:
+        if self.loss == "poisson_nll":
+            return poisson_nll_loss(preds, targets, log_input=self.log_input)
+        if self.loss == "mse":
+            return mse_loss(preds, targets)
+        raise ValueError(f"Loss {self.loss} not implemented yet for mlm")
+
+    def __call__(
+        self,
+        spikes: jax.Array,            # (B, T, N)
+        spikes_mask: jax.Array,       # (B, T)
+        spikes_timestamp: jax.Array,  # (B, T)
+        spikes_lengths: jax.Array,    # (B,)
+        targets: Optional[jax.Array] = None,
+        targets_lengths: Optional[jax.Array] = None,
+        block_idx: Optional[jax.Array] = None,
+        day_idx: Optional[jax.Array] = None,
+        training: bool = False,
+        neuron_regions_idx: Optional[jax.Array] = None,
+        masker_overrides: Optional[dict] = None,
+    ) -> NDT1Output:
+        method = self.method_name
+        if method in ("mlm", "autoregressive"):
+            targets = spikes
+
+        x, spikes_mask_out, targets_mask = self.encoder(
+            spikes,
+            spikes_mask,
+            spikes_timestamp,
+            spikes_lengths,
+            block_idx,
+            day_idx,
+            training,
+            neuron_regions_idx=neuron_regions_idx,
+            masker_overrides=masker_overrides,
+        )
+        emb = self.config["encoder"]["embedder"]
+        lens = stacked_lengths(
+            spikes_lengths, emb["stack"]["size"], emb["stack"]["stride"], emb["stack"]["active"]
+        )
+        preds = self._decode(x)
+
+        if method == "mlm":
+            tmask = targets_mask & spikes_mask_out[:, :, None]
+            loss = (self._ssl_loss(preds, targets) * tmask).sum()
+            return NDT1Output(
+                loss=loss,
+                n_examples=tmask.sum(),
+                preds=preds,
+                targets=targets,
+                mask=tmask,
+            )
+        if method == "autoregressive":
+            shift_mask = spikes_mask_out[:, :-1]
+            loss = (
+                self._ssl_loss(preds[:, :-1, :], targets[:, 1:, :])
+                * shift_mask[:, :, None]
+            ).sum()
+            return NDT1Output(
+                loss=loss,
+                n_examples=shift_mask.sum() * targets.shape[2],
+                preds=preds,
+                targets=targets,
+                mask=spikes_mask_out,
+            )
+        # ctc / endtoend
+        loss = ctc_loss(
+            preds,
+            targets,
+            lens,
+            targets_lengths,
+            blank_id=self.blank_id,
+            zero_infinity=self.zero_infinity,
+        ).sum()
+        return NDT1Output(
+            loss=loss,
+            n_examples=jnp.asarray(spikes.shape[0], dtype=jnp.int32),
+            preds=preds,
+            targets=targets,
+        )
+
+    # -- checkpointing (component-level, reference models/ndt1.py:685-692) --
+
+    @staticmethod
+    def save_checkpoint(save_dir: str, params: Dict) -> None:
+        from llm_bci_tpu.utils.serialization import save_params
+
+        params = unfreeze(params)
+        save_params(os.path.join(save_dir, "encoder.msgpack"), params["encoder"])
+        save_params(os.path.join(save_dir, "decoder.msgpack"), params["decoder"])
+
+    def save_config(self, save_dir: str) -> None:
+        with open(os.path.join(save_dir, "encoder_config.yaml"), "w") as f:
+            yaml.safe_dump(to_plain_dict(self.config["encoder"]), f)
+
+    def load_checkpoint_params(self, load_dir: str, params: Dict) -> Dict:
+        from llm_bci_tpu.utils.serialization import load_params
+
+        params = unfreeze(params)
+        params["encoder"] = load_params(
+            os.path.join(load_dir, "encoder.msgpack"), params["encoder"]
+        )
+        dec = os.path.join(load_dir, "decoder.msgpack")
+        if os.path.exists(dec):
+            params["decoder"] = load_params(dec, params["decoder"])
+        return params
+
+    def warm_start_params(self, params: Dict) -> Dict:
+        """Apply ``from_pt`` warm start if configured (reference
+        ``models/ndt1.py:468-476,502-504``)."""
+        enc_pt = self.config["encoder"].get("from_pt")
+        if enc_pt:
+            params = self.load_checkpoint_params(enc_pt, params)
+        return params

@@ -1,0 +1,69 @@
+"""Attention entry point — one call site for every model's hot kernel.
+
+TPU-native replacement for the reference's cuDNN
+``F.scaled_dot_product_attention`` (``models/ndt1.py:289``) and
+``nn.TransformerEncoder`` internals (``models/itransformer.py:68-73,168-173``).
+
+All models route through :func:`dot_product_attention` so the implementation
+can be swapped globally (``set_attention_impl``): ``xla`` uses
+``jax.nn.dot_product_attention`` (XLA fuses the softmax chain and tiles the
+matmuls onto the MXU), ``pallas`` uses the flash kernel in
+:mod:`llm_bci_tpu.ops.flash_attention` when the shapes/platform allow it.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_ATTENTION_IMPL = "xla"
+
+
+def set_attention_impl(name: str) -> None:
+    global _ATTENTION_IMPL
+    if name not in ("xla", "pallas"):
+        raise ValueError(f"Unknown attention impl {name!r}")
+    _ATTENTION_IMPL = name
+
+
+def get_attention_impl() -> str:
+    return _ATTENTION_IMPL
+
+
+def dot_product_attention(
+    q: jax.Array,                    # (B, T, H, D)
+    k: jax.Array,                    # (B, S, H, D)
+    v: jax.Array,                    # (B, S, H, D)
+    mask: Optional[jax.Array] = None,  # (B, 1|H, T, S) bool; True = attend
+    is_causal: bool = False,
+) -> jax.Array:                      # (B, T, H, D)
+    """Scaled dot-product attention over (batch, time, heads, head_dim)."""
+    if _ATTENTION_IMPL == "pallas":
+        from llm_bci_tpu.ops.flash_attention import flash_attention_supported, flash_attention
+
+        if flash_attention_supported(q, k, v, mask, is_causal):
+            return flash_attention(q, k, v, mask=mask, is_causal=is_causal)
+    return jax.nn.dot_product_attention(
+        q, k, v, mask=mask, is_causal=is_causal
+    )
+
+
+def make_attention_mask(
+    spikes_mask: jax.Array,             # (B, T) 1 = valid
+    context_mask: Optional[jax.Array],  # (T, T) 1 = in-window, or None
+) -> jax.Array:                          # (B, 1, T, T) bool
+    """Combine the padding mask and the banded context-window mask, with the
+    reference's self-attend guarantee for padded queries
+    (``models/ndt1.py:435-437``): every position may attend to itself so the
+    softmax never sees an all-masked row."""
+    B, T = spikes_mask.shape
+    valid = spikes_mask.astype(bool)
+    mask = valid[:, None, :]                              # (B, 1, T) keys valid
+    if context_mask is not None:
+        mask = mask & context_mask.astype(bool)[None, :, :]  # (B, T, T)
+    else:
+        mask = jnp.broadcast_to(mask, (B, T, T))
+    eye = jnp.eye(T, dtype=bool)
+    mask = mask | eye[None, :, :]
+    return mask[:, None, :, :]

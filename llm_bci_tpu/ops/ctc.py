@@ -22,11 +22,16 @@ NEG_INF = -1e30
 
 def _logsumexp3(a: jax.Array, b: jax.Array, c: jax.Array) -> jax.Array:
     m = jnp.maximum(jnp.maximum(a, b), c)
-    m_safe = jnp.where(m <= NEG_INF, 0.0, m)
-    out = m_safe + jnp.log(
-        jnp.exp(a - m_safe) + jnp.exp(b - m_safe) + jnp.exp(c - m_safe)
-    )
-    return jnp.where(m <= NEG_INF, NEG_INF, out)
+    dead = m <= NEG_INF
+    m_safe = jnp.where(dead, 0.0, m)
+    # Double-where: in the dead branch the args are replaced by finite values
+    # so the (unselected) log/exp path has finite gradients — otherwise
+    # grad(where) sees log(0) = -inf and poisons the backward pass with NaN.
+    a_s = jnp.where(dead, 0.0, a - m_safe)
+    b_s = jnp.where(dead, 0.0, b - m_safe)
+    c_s = jnp.where(dead, 0.0, c - m_safe)
+    out = m_safe + jnp.log(jnp.exp(a_s) + jnp.exp(b_s) + jnp.exp(c_s))
+    return jnp.where(dead, NEG_INF, out)
 
 
 def ctc_loss(
@@ -49,10 +54,12 @@ def ctc_loss(
     S = targets.shape[1]
     L = 2 * S + 1
 
-    log_probs = log_probs.astype(jnp.float32)
-    targets = targets.astype(jnp.int32)
-    input_lengths = input_lengths.astype(jnp.int32)
-    target_lengths = target_lengths.astype(jnp.int32)
+    # jnp.asarray: inputs may be host numpy (e.g. under abstract init), and
+    # numpy fancy-indexing with traced indices would call __array__ on them.
+    log_probs = jnp.asarray(log_probs).astype(jnp.float32)
+    targets = jnp.asarray(targets).astype(jnp.int32)
+    input_lengths = jnp.asarray(input_lengths).astype(jnp.int32)
+    target_lengths = jnp.asarray(target_lengths).astype(jnp.int32)
 
     # Extended label sequence z: even slots are blank, odd slot 2i+1 is y_i.
     slot = jnp.arange(L)

@@ -1,0 +1,7 @@
+from llm_bci_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    device_put_sharded_batch,
+    make_mesh,
+    replicated,
+    shard_pytree,
+)

@@ -1,0 +1,565 @@
+"""Trainer — config-driven train/eval loop on a JAX device mesh.
+
+Rebuilds the reference Trainer (``models/trainer.py:59-424``) TPU-first:
+
+* ``accelerate.Accelerator`` → one `jax.sharding.Mesh` with (data, fsdp)
+  axes; batch is the *global* batch (reference ``split_batches=True``),
+  sharded over ``data``; params/optimizer FSDP-sharded over ``fsdp``.
+* per-step ``model(**batch)`` + ``backward`` → a single jitted
+  ``train_step`` (loss + grad + optax update) compiled once thanks to the
+  static-shape dataloader; metric all-reduces are GSPMD ``psum``s instead of
+  ``accelerator.gather`` + ``.item()`` host syncs (async readback).
+* metric-fn protocol preserved: ``fn(model, model_inputs, unused_inputs,
+  outputs_dict, **metric_kwargs)`` with host numpy arrays
+  (reference ``models/trainer.py:298-303``).
+* checkpoints: reference-style per-component blobs via
+  ``model.save_checkpoint`` **plus** full train-state Orbax checkpoints with
+  optimizer/step for true resume (the reference's acknowledged gap,
+  ``configs/trainer.yaml:11``).
+
+Deliberate deviations (SURVEY.md §3.1/§7): conventional gradient
+accumulation (not the reference's step-on-first-micro-batch off-by-one);
+padding lengths frozen dataset-wide rather than per-batch.
+"""
+from __future__ import annotations
+
+import dataclasses
+import inspect
+import os
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import yaml
+
+from llm_bci_tpu.config import (
+    DictConfig,
+    config_from_kwargs,
+    resolve_path,
+    to_plain_dict,
+    update_config,
+)
+from llm_bci_tpu.data.datasets import pad_collate_fn
+from llm_bci_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated,
+    shard_pytree,
+)
+from llm_bci_tpu.registry import NAME2DATASET, NAME2MODEL
+import llm_bci_tpu.models  # noqa: F401  (populates NAME2MODEL)
+import llm_bci_tpu.data  # noqa: F401  (populates NAME2DATASET)
+from llm_bci_tpu.training.dataloader import HostDataLoader, freeze_pad_lengths
+from llm_bci_tpu.training.optim import build_optimizer
+
+DEFAULT_TRAINER_CONFIG = "configs/trainer.yaml"
+
+
+def default_trainer_config() -> DictConfig:
+    return update_config(resolve_path(DEFAULT_TRAINER_CONFIG), None)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+class ModelHandle:
+    """What metric fns receive as ``model``: the flax module bound to the
+    current params, with reference-like conveniences."""
+
+    def __init__(self, module, trainer: "Trainer"):
+        self.module = module
+        self._trainer = trainer
+
+    @property
+    def params(self):
+        return self._trainer.state.params
+
+    def apply(self, *args, method: Optional[str] = None, rngs=None, **kwargs):
+        m = getattr(self.module, method) if isinstance(method, str) else method
+        return self.module.apply(
+            {"params": self.params}, *args, method=m, rngs=rngs, **kwargs
+        )
+
+    def generate(self, *args, **kwargs):
+        return self.apply(*args, method="generate", **kwargs)
+
+
+class Trainer:
+    def __init__(
+        self,
+        config: DictConfig,
+        model=None,
+        dataset: Optional[Dict[str, List[Dict[str, Any]]]] = None,
+        metric_fns: Optional[Dict[str, Callable]] = None,
+        eval_metric_fns: Optional[Dict[str, Callable]] = None,
+        extra_model_kwargs: Optional[Dict[str, Any]] = None,
+    ):
+        self.config = update_config(default_trainer_config(), config)
+        self.verbosity = self.config.verbosity
+        self.init_wandb()
+
+        self.rng = jax.random.PRNGKey(int(self.config.seed))
+
+        par = self.config.parallelism
+        self.mesh = make_mesh(int(par.get("data", -1)), int(par.get("fsdp", 1)))
+        self.is_main_process = jax.process_index() == 0
+
+        self.print_v(
+            yaml.safe_dump(to_plain_dict(self.config), default_flow_style=False),
+            verbosity=0,
+        )
+        self.prepare_logging()
+
+        self.set_model(model, extra_model_kwargs)
+        self.get_model_inputs()
+        self.set_dataset(dataset)
+        self.build_dataloaders()
+        self.build_optimizer_and_scheduler()
+        self.init_train_state()
+        self.build_step_fns()
+
+        self.metric_kwargs = dict(self.config.method.metric_kwargs)
+        self.metric_fns = metric_fns or {}
+        self.eval_metric_fns = eval_metric_fns or {}
+        self.model_handle = ModelHandle(self.model, self)
+
+    # ------------------------------------------------------------- plumbing
+
+    def print_v(self, *args, verbosity: int = 3) -> None:
+        if verbosity >= self.verbosity and self.is_main_process:
+            print(*args, flush=True)
+
+    def init_wandb(self) -> None:
+        self.wandb = None
+        if self.config.get("log_to_wandb"):
+            try:
+                import wandb
+
+                self.wandb = wandb
+                wandb.init(project=self.config.wandb_project)
+                self.config = update_config(
+                    self.config, config_from_kwargs(dict(wandb.config), convert=False)
+                )
+            except ImportError:
+                self.print_v("wandb not available; disabling", verbosity=0)
+
+    def prepare_logging(self) -> None:
+        self.savestring = self.config.savestring
+        self.checkpoint_dir = os.path.join(
+            self.config.dirs.checkpoint_dir, self.savestring
+        )
+        if self.is_main_process:
+            os.makedirs(self.checkpoint_dir, exist_ok=True)
+        self.writer = None
+        if self.config.dirs.get("log_dir"):
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self.writer = SummaryWriter(
+                    log_dir=os.path.join(self.config.dirs.log_dir, self.savestring)
+                )
+            except ImportError:
+                pass
+
+    # ---------------------------------------------------------------- model
+
+    def set_model(self, model, extra_model_kwargs=None) -> None:
+        extra_model_kwargs = extra_model_kwargs or {}
+        if model is None:
+            model_class = NAME2MODEL[self.config.model.model_class]
+            kwargs = {**dict(self.config.method.model_kwargs), **extra_model_kwargs}
+            if hasattr(model_class, "from_config"):
+                self.model = model_class.from_config(self.config.model, **kwargs)
+            else:
+                self.model = model_class(self.config.model, **kwargs)
+        else:
+            self.model = model
+
+    def get_model_inputs(self) -> None:
+        """Columns the collate routes into the jitted step — param names of
+        the module's ``__call__`` (reference inspects ``model.forward``,
+        ``models/trainer.py:161-171``)."""
+        sig = inspect.signature(type(self.model).__call__)
+        skip = {"self", "training", "masker_overrides"}
+        self.model_inputs = [p for p in sig.parameters if p not in skip]
+
+    # ----------------------------------------------------------------- data
+
+    def set_dataset(self, dataset) -> None:
+        if dataset is None:
+            data_cfg = self.config.data
+            if data_cfg.get("hf_dataset_name"):
+                from datasets import load_dataset
+
+                self.dataset = load_dataset(data_cfg.hf_dataset_name)
+            elif data_cfg.get("json_dataset_name"):
+                import json
+
+                self.dataset = json.load(open(data_cfg.json_dataset_name))
+            else:
+                raise ValueError("No dataset provided")
+        elif isinstance(dataset, str):
+            import json
+
+            self.dataset = json.load(open(dataset))
+        else:
+            self.dataset = dataset
+
+    def build_dataloaders(self) -> None:
+        self.print_v("Building dataloaders", verbosity=0)
+        cfg = self.config
+        dataset_class = NAME2DATASET[cfg.data.dataset_class]
+        dataset_kwargs = dict(cfg.method.dataset_kwargs)
+        self.train_dataset = dataset_class(
+            self.dataset[cfg.data.train_name], length=cfg.data.train_len, **dataset_kwargs
+        )
+        self.test_dataset = dataset_class(
+            self.dataset[cfg.data.test_name], length=cfg.data.test_len, **dataset_kwargs
+        )
+
+        pad_dict = to_plain_dict(cfg.method.dataloader_kwargs.pad_dict)
+        # Static shapes: one frozen pad target across both splits so train and
+        # eval share a single XLA compilation per batch size.
+        pad_dict = freeze_pad_lengths(self.train_dataset, pad_dict)
+        pad_dict = freeze_pad_lengths(self.test_dataset, pad_dict)
+        for spec in pad_dict.values():
+            if spec.get("min_length") is not None and spec.get("truncate") is not None:
+                spec["min_length"] = min(spec["min_length"], spec["truncate"])
+        self.pad_dict = pad_dict
+
+        collate = partial(
+            pad_collate_fn, model_inputs=self.model_inputs, pad_dict=pad_dict
+        )
+        self.train_dataloader = HostDataLoader(
+            self.train_dataset,
+            batch_size=cfg.training.train_batch_size,
+            collate_fn=collate,
+            shuffle=True,
+            drop_last=bool(cfg.training.get("drop_last_train_dataloader", False)),
+            seed=int(cfg.seed),
+        )
+        self.test_dataloader = HostDataLoader(
+            self.test_dataset,
+            batch_size=cfg.training.test_batch_size,
+            collate_fn=collate,
+            shuffle=bool(cfg.training.get("shuffle_test_dataloader", False)),
+            drop_last=bool(cfg.training.get("drop_last_test_dataloader", False)),
+            seed=int(cfg.seed) + 1,
+        )
+
+    # ------------------------------------------------------------ optimizer
+
+    def build_optimizer_and_scheduler(self) -> None:
+        self.print_v("Building optimizers", verbosity=0)
+        self.tx, self.schedule = build_optimizer(
+            self.config.optimizer,
+            steps_per_epoch=len(self.train_dataloader),
+            num_epochs=int(self.config.training.num_epochs),
+        )
+
+    # ------------------------------------------------------------ jit state
+
+    def _example_batch(self) -> Dict[str, Any]:
+        batch, _ = next(iter(self.test_dataloader))
+        return {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+
+    def init_train_state(self) -> None:
+        self.print_v("Initializing parameters on the mesh", verbosity=0)
+        example = self._example_batch()
+        init_rng, self.rng = jax.random.split(self.rng)
+
+        def init_fn(rng):
+            return self.model.init({"params": rng}, **example, training=False)["params"]
+
+        params_shape = jax.eval_shape(init_fn, init_rng)
+        min_size = int(self.config.parallelism.get("fsdp_min_size", 1 << 20))
+        self.param_shardings = shard_pytree(params_shape, self.mesh, min_size=min_size)
+
+        # Frozen-param support (LoRA / freeze_llm, the peft requires_grad
+        # analog): models expose a bool pytree; frozen leaves get no
+        # optimizer state or updates.
+        if hasattr(self.model, "trainable_mask"):
+            mask = self.model.trainable_mask(params_shape)
+            self.tx = optax.masked(self.tx, mask)
+            n_train = sum(
+                l.size
+                for l, m in zip(
+                    jax.tree_util.tree_leaves(params_shape),
+                    jax.tree_util.tree_leaves(mask),
+                )
+                if m
+            )
+            self.print_v(f"Trainable parameters under mask: {n_train:,}", verbosity=0)
+
+        params = jax.jit(init_fn, out_shardings=self.param_shardings)(init_rng)
+
+        # Component warm-start (from_pt chain), then re-place on the mesh.
+        if hasattr(self.model, "warm_start_params"):
+            warm = self.model.warm_start_params(jax.device_get(params))
+            params = jax.device_put(warm, self.param_shardings)
+
+        opt_state = jax.jit(
+            self.tx.init,
+            out_shardings=None,
+        )(params)
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state
+        )
+
+        n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+        self.print_v(f"Model number of trainable parameters: {n_params:,}", verbosity=0)
+
+    def build_step_fns(self) -> None:
+        model = self.model
+
+        def train_step(state: TrainState, batch, rng):
+            k_drop, k_noise, k_mask = jax.random.split(rng, 3)
+
+            def loss_fn(params):
+                out = model.apply(
+                    {"params": params},
+                    **batch,
+                    training=True,
+                    rngs={"dropout": k_drop, "noise": k_noise, "mask": k_mask},
+                )
+                return out.loss, out
+
+            (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
+            return new_state, out.to_dict()
+
+        def eval_step(state: TrainState, batch, rng):
+            k_mask, _ = jax.random.split(rng)
+            out = model.apply(
+                {"params": state.params},
+                **batch,
+                training=False,
+                rngs={"mask": k_mask},
+            )
+            return out.to_dict()
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        self._eval_step = jax.jit(eval_step)
+
+    # ----------------------------------------------------------- data → dev
+
+    def _put_batch(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        """Transfer numpy arrays to device; batch-shard when divisible by the
+        data axis, else replicate (partial final batches)."""
+        n_data = self.mesh.shape["data"]
+        out = {}
+        for k, v in batch.items():
+            if not isinstance(v, np.ndarray):
+                continue
+            sh = (
+                batch_sharding(self.mesh)
+                if v.shape[0] % n_data == 0
+                else replicated(self.mesh)
+            )
+            out[k] = jax.device_put(v, sh)
+        return out
+
+    # ------------------------------------------------------------- evaluate
+
+    def evaluate(
+        self,
+        additional_metric_fns: Optional[Dict[str, Callable]] = None,
+        eval_train_set: bool = False,
+    ):
+        metric_fns = dict(self.metric_fns)
+        metric_fns.update(additional_metric_fns or {})
+
+        test_loss, test_examples = [], []
+        test_metrics = {name: [] for name in metric_fns}
+
+        dataloader = self.train_dataloader if eval_train_set else self.test_dataloader
+        for model_inputs, unused_inputs in dataloader:
+            dev_batch = self._put_batch(model_inputs)
+            step_rng, self.rng = jax.random.split(self.rng)
+            outputs = self._eval_step(self.state, dev_batch, step_rng)
+            test_loss.append(outputs["loss"])
+            test_examples.append(outputs["n_examples"])
+            for name, fn in metric_fns.items():
+                out_np = {
+                    k: (np.asarray(v) if v is not None else None)
+                    for k, v in outputs.items()
+                }
+                test_metrics[name].append(
+                    float(
+                        fn(
+                            self.model_handle,
+                            model_inputs,
+                            unused_inputs,
+                            out_np,
+                            **self.metric_kwargs,
+                        )
+                    )
+                )
+
+        total_examples = float(np.sum([np.asarray(x) for x in test_examples]))
+        total_loss = float(np.sum([np.asarray(x) for x in test_loss]))
+        test_avg_loss = total_loss / total_examples if total_examples > 0 else 0.0
+        test_avg_metrics = {
+            k: (sum(v) / len(v) if v else 0.0) for k, v in test_metrics.items()
+        }
+        return test_avg_loss, test_avg_metrics
+
+    # ----------------------------------------------------------------- train
+
+    def train(self) -> None:
+        config = self.config
+        self.print_v(f"Starting run {config.savestring}", verbosity=0)
+
+        global_step = 1
+        train_loss, train_examples = [], []
+        train_metrics = {name: [] for name in self.metric_fns}
+        max_steps = config.training.get("max_steps")
+
+        for epoch in range(1, int(config.training.num_epochs) + 1):
+            self.print_v(f"Epoch {epoch}", verbosity=1)
+            for model_inputs, unused_inputs in self.train_dataloader:
+                dev_batch = self._put_batch(model_inputs)
+                step_rng, self.rng = jax.random.split(self.rng)
+                self.state, outputs = self._train_step(self.state, dev_batch, step_rng)
+
+                # Async: device scalars are appended without host sync; the
+                # .item() equivalents happen at log/eval boundaries.
+                train_loss.append(outputs["loss"])
+                train_examples.append(outputs["n_examples"])
+
+                if self.writer is not None:
+                    loss_v = float(np.asarray(outputs["loss"]))
+                    n_v = float(np.asarray(outputs["n_examples"]))
+                    self.writer.add_scalar(
+                        "Loss/train_iter", loss_v / n_v if n_v > 0 else 0.0, global_step
+                    )
+
+                for name, fn in self.metric_fns.items():
+                    out_np = {
+                        k: (np.asarray(v) if v is not None else None)
+                        for k, v in outputs.items()
+                    }
+                    val = float(
+                        fn(
+                            self.model_handle,
+                            model_inputs,
+                            unused_inputs,
+                            out_np,
+                            **self.metric_kwargs,
+                        )
+                    )
+                    train_metrics[name].append(val)
+                    if self.writer is not None:
+                        self.writer.add_scalar(f"{name}/train_iter", val, global_step)
+
+                if (
+                    config.training.eval_every
+                    and global_step % config.training.eval_every == 0
+                ):
+                    self.print_v(f"Evaluation at step {global_step}", verbosity=1)
+                    test_avg_loss, test_avg_metrics = self.evaluate(self.eval_metric_fns)
+                    total_examples = float(
+                        np.sum([np.asarray(x) for x in train_examples])
+                    )
+                    train_avg_loss = (
+                        float(np.sum([np.asarray(x) for x in train_loss]))
+                        / total_examples
+                        if total_examples > 0
+                        else 0.0
+                    )
+                    train_avg_metrics = {
+                        k: (sum(v) / len(v) if v else 0.0)
+                        for k, v in train_metrics.items()
+                    }
+                    self.print_v(
+                        f"savestring={self.savestring} global_step={global_step}:\n"
+                        f"train_avg_loss={train_avg_loss} train_avg_metrics={train_avg_metrics}\n"
+                        f"test_avg_loss={test_avg_loss} test_avg_metrics={test_avg_metrics}",
+                        verbosity=1,
+                    )
+                    if self.writer is not None:
+                        self.writer.add_scalar("Loss/train", train_avg_loss, global_step)
+                        for name, v in train_avg_metrics.items():
+                            self.writer.add_scalar(f"{name}/train", v, global_step)
+                        self.writer.add_scalar("Loss/test", test_avg_loss, global_step)
+                        for name, v in test_avg_metrics.items():
+                            self.writer.add_scalar(f"{name}/test", v, global_step)
+                    if self.wandb is not None:
+                        self.wandb.log(
+                            {
+                                "step": global_step,
+                                "train_avg_loss": train_avg_loss,
+                                **train_avg_metrics,
+                                "test_avg_loss": test_avg_loss,
+                                **test_avg_metrics,
+                            }
+                        )
+                    train_loss, train_examples = [], []
+                    train_metrics = {name: [] for name in self.metric_fns}
+
+                if (
+                    config.training.save_every
+                    and global_step % config.training.save_every == 0
+                ):
+                    self.save_checkpoint(f"STEP{global_step}")
+
+                global_step += 1
+                if max_steps and global_step > max_steps:
+                    self.print_v("Reached max_steps", verbosity=1)
+                    if self.writer is not None:
+                        self.writer.flush()
+                    return
+
+        if self.writer is not None:
+            self.writer.flush()
+            self.writer.close()
+        self.print_v("Training done", verbosity=1)
+
+    # ----------------------------------------------------------- checkpoint
+
+    def save_checkpoint(self, tag: str) -> None:
+        """Component blobs + trainer config (reference layout,
+        ``models/trainer.py:405-413``) plus a full Orbax train state."""
+        save_to_path = os.path.join(self.checkpoint_dir, tag)
+        if self.is_main_process:
+            os.makedirs(save_to_path, exist_ok=True)
+        self.print_v(f"Saving checkpoint to {save_to_path}", verbosity=1)
+        params = jax.device_get(self.state.params)
+        if hasattr(self.model, "save_checkpoint"):
+            self.model.save_checkpoint(save_to_path, params)
+        if hasattr(self.model, "save_config"):
+            self.model.save_config(save_to_path)
+        if self.is_main_process:
+            with open(os.path.join(save_to_path, "trainer_config.yaml"), "w") as f:
+                yaml.safe_dump(to_plain_dict(self.config), f)
+        from llm_bci_tpu.training.checkpoint import save_train_state
+
+        save_train_state(
+            os.path.join(self.checkpoint_dir, "train_state"),
+            int(np.asarray(self.state.step)),
+            self.state,
+        )
+
+    def resume_from(self, directory: Optional[str] = None) -> int:
+        """Restore the full train state (params+optimizer+step); returns the
+        restored step. This is the mid-run resume the reference lacks."""
+        from llm_bci_tpu.training.checkpoint import restore_train_state
+
+        directory = directory or os.path.join(self.checkpoint_dir, "train_state")
+        step, state = restore_train_state(directory, self.state)
+        self.state = TrainState(
+            step=jnp.asarray(state.step),
+            params=jax.device_put(state.params, self.param_shardings),
+            opt_state=state.opt_state,
+        )
+        return step

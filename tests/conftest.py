@@ -2,15 +2,24 @@
 
 This is the TPU-native analog of multi-process distributed tests the
 reference lacks (SURVEY.md §4): sharding/collective correctness is validated
-on `--xla_force_host_platform_device_count=8` CPU devices, exactly as the
-driver's multichip dry-run does.
+on 8 virtual CPU devices, exactly as the driver's multichip dry-run does.
+
+Note: this environment may preload a TPU PJRT plugin via a sitecustomize
+(which imports jax at interpreter start, freezing env-var based config), so
+we must switch platforms through ``jax.config`` — not env vars — before any
+backend is initialized.
 """
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # for subprocesses
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

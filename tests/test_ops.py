@@ -108,7 +108,8 @@ def test_cross_entropy_ignore_index():
     import torch
 
     ref = torch.nn.CrossEntropyLoss(reduction="none", ignore_index=-100)(
-        torch.tensor(np.asarray(logits)), torch.tensor(np.asarray(targets))
+        torch.tensor(np.asarray(logits)),
+        torch.tensor(np.asarray(targets), dtype=torch.long),
     ).numpy()
     np.testing.assert_allclose(np.asarray(loss), ref, rtol=1e-5, atol=1e-6)
 

@@ -1,0 +1,157 @@
+"""End-to-end Trainer + NDT1 smoke tests on synthetic spiking data.
+
+Runs on the 8-virtual-CPU-device mesh from conftest — this also exercises
+the data/fsdp sharding path the reference never tested (SURVEY.md §4).
+"""
+import numpy as np
+import pytest
+
+from llm_bci_tpu.config import DictConfig, update_config
+
+
+def synth_dataset(n_train=16, n_test=8, T=20, N=12, n_days=3, seed=0, with_targets=False, vocab=7):
+    rng = np.random.default_rng(seed)
+
+    def make(n):
+        rows = []
+        for i in range(n):
+            row = {
+                "spikes": rng.poisson(1.0, size=(T, N)).astype(np.float32),
+                "day_idx": np.asarray(i % n_days),
+                "block_idx": np.asarray(i % 2),
+            }
+            if with_targets:
+                L = int(rng.integers(2, 6))
+                row["targets"] = rng.integers(1, vocab, size=(L,)).astype(np.int32)
+            rows.append(row)
+        return rows
+
+    return {"train": make(n_train), "test": make(n_test)}
+
+
+def base_config(tmp_path, **model_kwargs):
+    return DictConfig(
+        {
+            "savestring": "smoke",
+            "verbosity": 3,
+            "dirs": {"checkpoint_dir": str(tmp_path / "ckpt"), "log_dir": None},
+            "training": {
+                "num_epochs": 1,
+                "train_batch_size": 8,
+                "test_batch_size": 8,
+                "max_steps": 2,
+            },
+            "model": update_config(
+                "configs/ndt1.yaml",
+                {
+                    "encoder": {
+                        "masker": {"neuron": {"active": True, "mode": "random", "ratio": 0.3}},
+                        "smooth_and_noise": {"smooth_sd": 1, "white_noise_sd": 0.1, "constant_offset_sd": 0.1},
+                        "embedder": {
+                            "n_channels": 12,
+                            "max_F": 20,
+                            "input_dim": 16,
+                            "stack": {"active": False},
+                            "dropout": 0.1,
+                        },
+                        "transformer": {
+                            "n_layers": 2,
+                            "hidden_size": 16,
+                            "n_heads": 2,
+                            "inter_size": 32,
+                            "dropout": 0.1,
+                        },
+                    }
+                },
+            ),
+            "data": {"dataset_class": "base"},
+            "method": {
+                "model_kwargs": {"method_name": "mlm", "loss": "poisson_nll", "log_input": True, **model_kwargs},
+                "dataloader_kwargs": {
+                    "pad_dict": {
+                        "spikes": {"dim": 0, "side": "left", "value": 0, "truncate": None, "min_length": None},
+                        "spikes_mask": {"dim": 0, "side": "left", "value": 0, "truncate": None, "min_length": None},
+                        "spikes_timestamp": {"dim": 0, "side": "left", "value": 0, "truncate": None, "min_length": None},
+                    }
+                },
+            },
+            "optimizer": {"lr": 1e-3, "scheduler": "cosine", "warmup_pct": 0.1},
+            "parallelism": {"data": -1, "fsdp": 1},
+        }
+    )
+
+
+def test_trainer_mlm_end_to_end(tmp_path):
+    from llm_bci_tpu.training import Trainer
+
+    cfg = base_config(tmp_path)
+    trainer = Trainer(cfg, dataset=synth_dataset())
+    loss_before, _ = trainer.evaluate()
+    trainer.train()
+    loss_after, _ = trainer.evaluate()
+    assert np.isfinite(loss_before) and np.isfinite(loss_after)
+    assert int(np.asarray(trainer.state.step)) == 2
+
+
+def test_trainer_fsdp_mesh(tmp_path):
+    """Same run on a 2x4 (data, fsdp) mesh — exercises param sharding."""
+    from llm_bci_tpu.training import Trainer
+
+    cfg = base_config(tmp_path)
+    cfg["parallelism"] = {"data": 2, "fsdp": 4, "fsdp_min_size": 16}
+    trainer = Trainer(cfg, dataset=synth_dataset())
+    trainer.train()
+    loss, _ = trainer.evaluate()
+    assert np.isfinite(loss)
+
+
+def test_trainer_ctc_decoding(tmp_path):
+    from llm_bci_tpu.training import Trainer
+
+    cfg = base_config(tmp_path)
+    cfg["data"]["dataset_class"] = "decoding"
+    cfg["method"]["model_kwargs"] = {
+        "method_name": "ctc",
+        "vocab_size": 7,
+        "blank_id": 0,
+        "zero_infinity": True,
+    }
+    cfg["model"]["encoder"]["masker"]["neuron"]["active"] = False
+    cfg["model"]["encoder"]["embedder"]["stack"] = {"active": True, "size": 4, "stride": 2}
+    cfg["method"]["dataset_kwargs"] = {"targets_name": "targets"}
+    cfg["method"]["dataloader_kwargs"]["pad_dict"].update(
+        {
+            "targets": {"dim": 0, "side": "right", "value": 0, "truncate": None, "min_length": None},
+            "targets_mask": {"dim": 0, "side": "right", "value": 0, "truncate": None, "min_length": None},
+        }
+    )
+    for spec in cfg["method"]["dataloader_kwargs"]["pad_dict"].values():
+        spec["side"] = "right"
+    trainer = Trainer(cfg, dataset=synth_dataset(with_targets=True))
+    trainer.train()
+    loss, _ = trainer.evaluate()
+    assert np.isfinite(loss)
+
+
+def test_checkpoint_resume(tmp_path):
+    from llm_bci_tpu.training import Trainer
+
+    cfg = base_config(tmp_path)
+    cfg["training"]["save_every"] = 2
+    trainer = Trainer(cfg, dataset=synth_dataset())
+    trainer.train()
+
+    trainer2 = Trainer(cfg, dataset=synth_dataset())
+    step = trainer2.resume_from()
+    assert step == 2
+    p1 = np.asarray(
+        next(iter(jax_leaves(trainer.state.params)))
+    )
+    p2 = np.asarray(next(iter(jax_leaves(trainer2.state.params))))
+    np.testing.assert_allclose(p1, p2)
+
+
+def jax_leaves(tree):
+    import jax
+
+    return jax.tree_util.tree_leaves(tree)
