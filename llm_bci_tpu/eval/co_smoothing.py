@@ -1,0 +1,210 @@
+"""Co-smoothing evaluation: bits-per-spike of held-out neuron predictions.
+
+TPU-native rebuild of reference ``utils/eval_co_smoothing.py:15-243``. The
+reference mutates the model's masker module and reruns a full eval pass per
+neuron (``:147-153``), recompiling nothing because torch is eager. Here the
+masked-channel / region selections are *dynamic inputs*
+(:class:`llm_bci_tpu.models.masker.MaskerOverrides`) to one jitted eval
+function — the whole N-neuron sweep reuses a single XLA compilation.
+
+Modes (reference ``:127,160,207``):
+* ``neuron``        — co-smooth mask one channel at a time;
+* ``intra-region``  — all channels outside the target region masked, plus
+  the held-out channel; targets restricted to the region;
+* ``inter-region``  — mask all channels of one region, predict it from the
+  others (one pass per region, scored per neuron).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llm_bci_tpu.eval.metrics import bits_per_spike
+from llm_bci_tpu.models.masker import MaskerConfig, MaskerOverrides
+
+
+def _eval_model_with_maskers(model, masker_cfgs: Dict[str, dict]):
+    """Clone the model with its masker block replaced (maskers are
+    param-free, so trainer params still apply)."""
+    import copy
+
+    cfg = copy.deepcopy(model.config)
+    if "encoder" in cfg and isinstance(cfg["encoder"], dict) and "masker" in cfg["encoder"]:
+        cfg["encoder"]["masker"] = masker_cfgs       # NDT1 layout
+    elif "masker" in cfg:
+        cfg["masker"] = masker_cfgs                  # iTransformer layout
+    else:
+        raise ValueError("Model config carries no masker block")
+    return dataclasses.replace(model, config=cfg)
+
+
+_COSMOOTH = {
+    "force_active": True, "mode": "co-smooth", "ratio": 1.0,
+    "zero_ratio": 1.0, "random_ratio": 1.0, "channels": [0],
+}
+
+
+def co_smoothing_eval(
+    trainer,
+    save_path: str = "figs",
+    method: str = "",
+    is_aligned: bool = False,
+    subtract_psth: Optional[str] = "task",
+    onset_alignment: Optional[List[int]] = None,
+    target_regions: Optional[List[str]] = None,
+    modes: Optional[List[str]] = None,
+    make_r2_plots: bool = False,
+    max_N: Optional[int] = None,
+) -> Dict[str, Dict[str, list]]:
+    modes = modes or ["neuron", "intra-region", "inter-region"]
+    target_regions = target_regions or ["all"]
+    onset_alignment = onset_alignment if onset_alignment is not None else [40]
+
+    model = trainer.model
+    params = trainer.state.params
+    log_input = bool(getattr(model, "log_input", True))
+
+    region_list = [str(r) for r in trainer.test_dataset[0]["neuron_regions"]]
+    uuids_list = trainer.test_dataset[0].get(
+        "neuron_uuids", [str(i) for i in range(len(region_list))]
+    )
+    all_regions = sorted(set(region_list))
+    region_to_id = {r: i for i, r in enumerate(all_regions)}
+    regions_idx_row = np.asarray([region_to_id[r] for r in region_list], np.int32)
+    neurons_by_region = {
+        r: [i for i, rr in enumerate(region_list) if rr == r] for r in all_regions
+    }
+    if "all" in target_regions:
+        target_regions = all_regions
+
+    batches = list(trainer.test_dataloader)  # (model_inputs, unused) pairs
+    N_total = batches[0][0]["spikes"].shape[2]
+    N = max_N or N_total
+
+    def run_sweep(masker_cfgs: Dict[str, dict], overrides_for):
+        """overrides_for(n_or_region) -> {idx: MaskerOverrides}; returns
+        stacked (trials, T, N) rates + spikes per sweep point."""
+        eval_model = _eval_model_with_maskers(model, masker_cfgs)
+
+        @jax.jit
+        def eval_fn(params, batch, overrides):
+            out = eval_model.apply(
+                {"params": params},
+                **batch,
+                training=False,
+                masker_overrides=overrides,
+                # force_active maskers draw from the 'mask' stream even at
+                # eval; fixed key = deterministic sweep.
+                rngs={"mask": jax.random.PRNGKey(0)},
+            )
+            return out.preds
+
+        def one(point) -> np.ndarray:
+            overrides = overrides_for(point)
+            preds = []
+            for model_inputs, _ in batches:
+                dev = {
+                    k: v for k, v in model_inputs.items() if isinstance(v, np.ndarray)
+                }
+                if "neuron_regions_idx" not in dev:
+                    B = dev["spikes"].shape[0]
+                    dev["neuron_regions_idx"] = np.tile(regions_idx_row, (B, 1))
+                preds.append(np.asarray(eval_fn(params, dev, overrides)))
+            preds = np.concatenate(preds, axis=0)
+            return np.exp(preds) if log_input else preds
+
+        return one
+
+    spikes_all = np.concatenate([b[0]["spikes"] for b in batches], axis=0)
+
+    def score(rates: np.ndarray, n_i: int, mode: str):
+        bps = bits_per_spike(rates[:, :, [n_i]], spikes_all[:, :, [n_i]])
+        r2 = [0.0, 0.0]
+        if make_r2_plots:
+            from llm_bci_tpu.eval.viz_neuron_fit import viz_single_cell_unaligned
+
+            r2 = [
+                viz_single_cell_unaligned(
+                    spikes_all[:, :, n_i], rates[:, :, n_i],
+                    neuron_idx=str(uuids_list[n_i])[:4],
+                    neuron_region=region_list[n_i],
+                    method=method, mode=mode, save_path=save_path,
+                ),
+                0.0,
+            ]
+        return bps, r2
+
+    results: Dict[str, Dict[str, list]] = {}
+
+    if "neuron" in modes:
+        one = run_sweep(
+            {"main": dict(_COSMOOTH)},
+            lambda n_i: {0: MaskerOverrides(
+                channels_onehot=jnp.asarray(np.arange(N_total) == n_i)
+            )},
+        )
+        bps_list, r2_list = [], []
+        for n_i in range(N):
+            rates = one(n_i)
+            bps, r2 = score(rates, n_i, "neuron")
+            bps_list.append(bps)
+            r2_list.append(r2)
+        results["neuron"] = {"bps": bps_list, "r2": r2_list}
+
+    if "intra-region" in modes:
+        region_cfg = {
+            "force_active": True, "mode": "intra-region", "ratio": 0.0,
+            "zero_ratio": 1.0, "random_ratio": 1.0, "target_regions": [],
+        }
+        one = run_sweep(
+            {"region": region_cfg, "main": dict(_COSMOOTH)},
+            lambda n_i: {
+                0: MaskerOverrides(
+                    target_region_sel=jnp.asarray(
+                        (regions_idx_row == region_to_id[region_list[n_i]])[None, :]
+                    )
+                ),
+                1: MaskerOverrides(
+                    channels_onehot=jnp.asarray(np.arange(N_total) == n_i)
+                ),
+            },
+        )
+        bps_list, r2_list = [], []
+        for n_i in range(N):
+            rates = one(n_i)
+            bps, r2 = score(rates, n_i, "intra-region")
+            bps_list.append(bps)
+            r2_list.append(r2)
+        results["intra-region"] = {"bps": bps_list, "r2": r2_list}
+
+    if "inter-region" in modes:
+        region_cfg = {
+            "force_active": True, "mode": "inter-region", "ratio": 1.0,
+            "zero_ratio": 1.0, "random_ratio": 1.0, "mask_regions": [],
+        }
+        one = run_sweep(
+            {"region": region_cfg},
+            lambda region: {
+                0: MaskerOverrides(
+                    mask_region_sel=jnp.asarray(
+                        (regions_idx_row == region_to_id[region])[None, :]
+                    )
+                )
+            },
+        )
+        bps_list, r2_list = [], []
+        for region in target_regions:
+            rates = one(region)
+            for n_i in neurons_by_region[region]:
+                if n_i >= N:
+                    continue
+                bps, r2 = score(rates, n_i, "inter-region")
+                bps_list.append(bps)
+                r2_list.append(r2)
+        results["inter-region"] = {"bps": bps_list, "r2": r2_list}
+
+    return results

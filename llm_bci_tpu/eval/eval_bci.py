@@ -20,7 +20,7 @@ def edit_distance(source: Sequence, target: Sequence) -> int:
         return m
     # target tokens as an array for vectorized compare per source token
     prev = np.arange(n + 1)
-    tgt = np.asarray(target, dtype=object)
+    tgt = np.asarray(list(target), dtype=object)
     for i, s_tok in enumerate(source, start=1):
         cur = np.empty(n + 1, dtype=np.int64)
         cur[0] = i

@@ -60,7 +60,7 @@ class MaskerConfig:
         def ids(names):
             if names is None:
                 return None
-            if region_to_id is None:
+            if len(names) and region_to_id is None:
                 raise ValueError("Region-based masking needs a region_to_id vocabulary")
             return tuple(int(region_to_id[r]) for r in names)
 
@@ -84,6 +84,7 @@ class MaskerConfig:
         )
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class MaskerOverrides:
     """Dynamic (traced) selection overrides for eval harnesses.

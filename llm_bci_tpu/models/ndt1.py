@@ -517,7 +517,16 @@ class NeuralEncoder(nn.Module):
         )
         Tn = x.shape[1]
 
-        context = jnp.asarray(self.context_mask_np[:Tn, :Tn])
+        # Built at the traced length (not sliced from a max_F buffer): the
+        # mask is static numpy per compilation, and generation may extend
+        # the sequence past max_F (pos-emb lookups clamp there).
+        if Tn <= self.context_mask_np.shape[0]:
+            context = jnp.asarray(self.context_mask_np[:Tn, :Tn])
+        else:
+            cfg_ctx = self.config["context"]
+            context = jnp.asarray(
+                create_context_mask(cfg_ctx["forward"], cfg_ctx["backward"], Tn)
+            )
         attn_mask = make_attention_mask(spikes_mask, context)
 
         for layer in self.layers:
@@ -699,6 +708,71 @@ class NDT1(nn.Module):
             preds=preds,
             targets=targets,
         )
+
+    # ------------------------------------------------------------ generation
+
+    def generate(
+        self,
+        spikes: jax.Array,             # (B, T0, N)
+        spikes_mask: jax.Array,        # (B, T0)
+        spikes_timestamp: jax.Array,   # (B, T0)
+        spikes_lengths: Optional[jax.Array] = None,
+        block_idx: Optional[jax.Array] = None,
+        day_idx: Optional[jax.Array] = None,
+        max_new_bins: int = 16,
+    ) -> Tuple[jax.Array, jax.Array]:  # (B, max_new_bins, N) preds, sampled bins
+        """Iterative spike-bin generation (reference ``models/ndt1.py:608-682``).
+
+        TPU-first formulation: instead of re-allocating a growing sequence
+        per step, a fixed ``(B, T0+max_new_bins, N)`` buffer is extended via
+        ``dynamic_update_slice`` with a validity mask — every step runs the
+        same static-shape forward, so the whole loop jits as one program.
+        ``autoregressive`` predicts the next bin from the last valid one and
+        Poisson-samples it; ``mlm`` appends a zeroed bin and reconstructs it.
+        """
+        if self.method_name not in ("mlm", "autoregressive"):
+            raise ValueError(f"generate not supported for method {self.method_name}")
+        B, T0, N = spikes.shape
+        Tmax = T0 + max_new_bins
+
+        buf = jnp.concatenate([spikes, jnp.zeros((B, max_new_bins, N), spikes.dtype)], 1)
+        mask = jnp.concatenate(
+            [spikes_mask, jnp.zeros((B, max_new_bins), spikes_mask.dtype)], 1
+        )
+        last_ts = spikes_timestamp[:, -1]
+        new_ts = last_ts[:, None] + jnp.arange(1, max_new_bins + 1)[None, :]
+        ts = jnp.concatenate([spikes_timestamp, new_ts.astype(spikes_timestamp.dtype)], 1)
+        lengths = (
+            spikes_lengths
+            if spikes_lengths is not None
+            else jnp.full((B,), T0, jnp.int32)
+        )
+
+        preds_out, bins_out = [], []
+        for i in range(max_new_bins):
+            t_new = T0 + i
+            if self.method_name == "mlm":
+                mask = mask.at[:, t_new].set(1)
+            x, _, _ = self.encoder(
+                buf, mask, ts, lengths, block_idx, day_idx, False
+            )
+            preds = self._decode(x)
+            pos = t_new if self.method_name == "mlm" else t_new - 1
+            new_preds = preds[:, pos, :]
+            new_bins = new_preds
+            if self.loss == "poisson_nll":
+                if self.log_input:
+                    new_preds = jnp.exp(new_preds)
+                    new_bins = new_preds
+                key = self.make_rng("sample")
+                new_bins = jax.random.poisson(key, new_bins).astype(buf.dtype)
+            buf = buf.at[:, t_new, :].set(new_bins)
+            if self.method_name == "autoregressive":
+                mask = mask.at[:, t_new].set(1)
+            preds_out.append(new_preds)
+            bins_out.append(new_bins)
+
+        return jnp.stack(preds_out, 1), jnp.stack(bins_out, 1)
 
     # -- checkpointing (component-level, reference models/ndt1.py:685-692) --
 

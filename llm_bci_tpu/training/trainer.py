@@ -68,6 +68,7 @@ class TrainState:
     step: jax.Array
     params: Any
     opt_state: Any
+    extra_vars: Any = dataclasses.field(default_factory=dict)  # e.g. batch_stats
 
 
 class ModelHandle:
@@ -277,9 +278,14 @@ class Trainer:
         init_rng, self.rng = jax.random.split(self.rng)
 
         def init_fn(rng):
-            return self.model.init({"params": rng}, **example, training=False)["params"]
+            variables = dict(self.model.init({"params": rng}, **example, training=False))
+            params = variables.pop("params")
+            return params, variables
 
-        params_shape = jax.eval_shape(init_fn, init_rng)
+        def init_params(rng):
+            return init_fn(rng)[0]
+
+        params_shape, extra_shape = jax.eval_shape(init_fn, init_rng)
         min_size = int(self.config.parallelism.get("fsdp_min_size", 1 << 20))
         self.param_shardings = shard_pytree(params_shape, self.mesh, min_size=min_size)
 
@@ -299,7 +305,9 @@ class Trainer:
             )
             self.print_v(f"Trainable parameters under mask: {n_train:,}", verbosity=0)
 
-        params = jax.jit(init_fn, out_shardings=self.param_shardings)(init_rng)
+        params, extra_vars = jax.jit(
+            init_fn, out_shardings=(self.param_shardings, None)
+        )(init_rng)
 
         # Component warm-start (from_pt chain), then re-place on the mesh.
         if hasattr(self.model, "warm_start_params"):
@@ -311,7 +319,10 @@ class Trainer:
             out_shardings=None,
         )(params)
         self.state = TrainState(
-            step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=opt_state,
+            extra_vars=extra_vars,
         )
 
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
@@ -322,26 +333,37 @@ class Trainer:
 
         def train_step(state: TrainState, batch, rng):
             k_drop, k_noise, k_mask = jax.random.split(rng, 3)
+            mutable = list(state.extra_vars.keys())
 
             def loss_fn(params):
-                out = model.apply(
-                    {"params": params},
-                    **batch,
-                    training=True,
-                    rngs={"dropout": k_drop, "noise": k_noise, "mask": k_mask},
-                )
-                return out.loss, out
+                variables = {"params": params, **state.extra_vars}
+                rngs = {"dropout": k_drop, "noise": k_noise, "mask": k_mask}
+                if mutable:
+                    out, new_vars = model.apply(
+                        variables, **batch, training=True, rngs=rngs, mutable=mutable
+                    )
+                else:
+                    out = model.apply(variables, **batch, training=True, rngs=rngs)
+                    new_vars = state.extra_vars
+                return out.loss, (out, new_vars)
 
-            (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            (loss, (out, new_vars)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
             updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
-            new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
+            new_state = TrainState(
+                step=state.step + 1,
+                params=params,
+                opt_state=opt_state,
+                extra_vars=new_vars,
+            )
             return new_state, out.to_dict()
 
         def eval_step(state: TrainState, batch, rng):
             k_mask, _ = jax.random.split(rng)
             out = model.apply(
-                {"params": state.params},
+                {"params": state.params, **state.extra_vars},
                 **batch,
                 training=False,
                 rngs={"mask": k_mask},

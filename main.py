@@ -87,6 +87,11 @@ def main(args):
         for key in config["model"]["masker"].keys():
             config["model"]["masker"][key]["target_regions"] = all_regions
             config["model"]["masker"][key]["mask_regions"] = all_regions
+        # Region names never reach the device: add int id columns host-side.
+        from llm_bci_tpu.models.itransformer import region_names_to_idx
+
+        for rows in dataset.values():
+            region_names_to_idx(rows, all_regions)
 
     # ------------------------- static behaviour labels → contiguous classes
     if (

@@ -1,0 +1,126 @@
+"""Eval subsystem: WER/CER utils, bits-per-spike, co-smoothing sweep,
+behaviour decoding."""
+import numpy as np
+import pytest
+
+from llm_bci_tpu.eval.eval_bci import (
+    edit_distance,
+    format_ctc,
+    smoothed_RMS,
+    word_error_count,
+)
+from llm_bci_tpu.eval.metrics import bits_per_spike, metrics_list, neg_log_likelihood
+
+
+def test_edit_distance_basic():
+    assert edit_distance("kitten", "sitting") == 3
+    assert edit_distance([], ["a"]) == 1
+    assert edit_distance(["a", "b"], ["a", "b"]) == 0
+
+
+def test_word_error_count():
+    errors, words = word_error_count("the cat sat", "the cat sat")
+    assert (errors, words) == (0, 3)
+    errors, words = word_error_count(["a b c", "x"], ["a b d", "y z"])
+    assert errors == 1 + 2 and words == 3 + 2
+
+
+def test_word_error_count_matches_editdistance_pkg():
+    try:
+        import editdistance
+    except ImportError:
+        pytest.skip("editdistance not installed")
+    rng = np.random.default_rng(0)
+    vocab = ["aa", "bb", "cc", "dd"]
+    for _ in range(20):
+        a = " ".join(rng.choice(vocab, rng.integers(1, 8)))
+        b = " ".join(rng.choice(vocab, rng.integers(1, 8)))
+        ours, _ = word_error_count(a, b)
+        ref = editdistance.eval(a.split(" "), b.split(" "))
+        assert ours == ref
+
+
+def test_format_ctc():
+    vocab = ["BLANK", "A", "B", "C"]
+    assert format_ctc([0, 1, 1, 0, 2, 2, 3, 0, 0, 3], vocab, 0) == ["A", "B", "C", "C"]
+
+
+def test_bits_per_spike_perfect_model():
+    rng = np.random.default_rng(0)
+    rates = rng.uniform(0.5, 2.0, size=(20, 10, 4))
+    spikes = rng.poisson(rates)
+    # true-rate model beats the null model
+    assert bits_per_spike(rates, spikes.astype(float)) > 0
+    # null model itself scores ~0
+    null = np.tile(spikes.mean(axis=(0, 1), keepdims=True), (20, 10, 1))
+    assert abs(bits_per_spike(null, spikes.astype(float))) < 1e-6
+
+
+def test_nll_matches_scipy():
+    from scipy.stats import poisson
+
+    rng = np.random.default_rng(1)
+    rates = rng.uniform(0.5, 2.0, size=(5, 4))
+    spikes = rng.poisson(rates).astype(float)
+    ours = neg_log_likelihood(rates, spikes)
+    ref = -poisson.logpmf(spikes, rates).sum()
+    np.testing.assert_allclose(ours, ref, rtol=1e-6)
+
+
+def test_metrics_list():
+    t = np.asarray([[1.0, 2.0], [3.0, 4.0]])
+    p = np.asarray([[1.0, 2.0], [3.0, 5.0]])
+    m = metrics_list(t, p, ["mse", "mae"])
+    assert m["mse"] == 0.25 and m["mae"] == 0.25
+    acc = metrics_list(np.asarray([1, 0, 1]), np.asarray([1, 1, 1]), ["acc"])["acc"]
+    assert abs(acc - 2 / 3) < 1e-9
+
+
+def test_smoothed_rms_shapes():
+    rng = np.random.default_rng(0)
+    preds = rng.normal(size=(2, 10, 3))
+    feats = rng.poisson(1.0, size=(2, 10, 3)).astype(float)
+    mask = np.ones_like(preds)
+    masked, total = smoothed_RMS(preds, feats, mask, width=3)
+    assert masked == pytest.approx(total)
+
+
+# ------------------------------------------------------- co-smoothing sweep
+
+def test_co_smoothing_eval_ndt1(tmp_path):
+    from llm_bci_tpu.training import Trainer
+    from llm_bci_tpu.eval.co_smoothing import co_smoothing_eval
+    from test_trainer_ndt1 import base_config, synth_dataset
+
+    cfg = base_config(tmp_path)
+    trainer = Trainer(cfg, dataset=_with_regions(synth_dataset(T=20, N=12)))
+    res = co_smoothing_eval(
+        trainer, save_path=str(tmp_path / "figs"), method="mlm",
+        is_aligned=False, modes=["neuron", "inter-region"], max_N=3,
+    )
+    assert len(res["neuron"]["bps"]) == 3
+    assert all(np.isfinite(b) or np.isnan(b) for b in res["neuron"]["bps"])
+    assert len(res["inter-region"]["bps"]) > 0
+
+
+def _with_regions(ds, n_regions=3):
+    regions = ["R%d" % i for i in range(n_regions)]
+    rng = np.random.default_rng(0)
+    for rows in ds.values():
+        for row in rows:
+            N = row["spikes"].shape[1]
+            row["neuron_regions"] = [regions[i % n_regions] for i in range(N)]
+    return ds
+
+
+def test_behaviour_decoding_eval(tmp_path):
+    from llm_bci_tpu.training import Trainer
+    from llm_bci_tpu.eval.behaviour_decoding import behaviour_decoding_eval
+    from test_itransformer import it_config, synth_ibl_dataset, _prep, REGIONS
+
+    cfg = it_config(tmp_path, "stat_behaviour", loss="xent", n_labels=2)
+    cfg["data"]["dataset_class"] = "decoding"
+    cfg["method"]["dataset_kwargs"] = {"targets_name": "choice"}
+    trainer = Trainer(cfg, dataset=_prep(synth_ibl_dataset(), REGIONS))
+    res = behaviour_decoding_eval(trainer, is_cls=True)
+    assert 0.0 <= res["acc"] <= 1.0
