@@ -44,7 +44,8 @@ def main():
         },
     )
     model = NDT1.from_config(
-        cfg, method_name="ctc", vocab_size=VOCAB, blank_id=0, zero_infinity=True
+        cfg, method_name="ctc", vocab_size=VOCAB, blank_id=0, zero_infinity=True,
+        compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
     )
 
     rng = np.random.default_rng(0)

@@ -57,6 +57,17 @@ ACT2FN: Dict[str, Callable] = {
 }
 
 
+def dtype_from(name) -> Any:
+    """'bfloat16'/'float32'/None → jnp dtype (None → float32)."""
+    if name in (None, "float32", "fp32"):
+        return jnp.float32
+    if name in ("bfloat16", "bf16"):
+        return jnp.bfloat16
+    if name in ("float16", "fp16"):
+        return jnp.float16
+    return jnp.dtype(name)
+
+
 def torch_linear_kernel_init(scale: float = 1.0):
     """Kaiming-uniform kernel init matching ``torch.nn.Linear`` defaults
     (uniform in ±1/sqrt(fan_in)), with an optional fixup scale
@@ -159,6 +170,7 @@ class NeuralEmbeddingLayer(nn.Module):
     stack_active: bool
     stack_size: int
     stack_stride: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -178,7 +190,11 @@ class NeuralEmbeddingLayer(nn.Module):
                 torch_linear_kernel_init(),
                 (self.n_days, self.n_channels, self.input_dim),
             )
-            x = jnp.einsum("btc,bcd->btd", spikes, w[day_idx])
+            x = jnp.einsum(
+                "btc,bcd->btd",
+                spikes.astype(self.dtype),
+                w[day_idx].astype(self.dtype),
+            )
             if self.use_bias:
                 b = self.param(
                     "embed_spikes_days_bias",
@@ -190,6 +206,7 @@ class NeuralEmbeddingLayer(nn.Module):
             x = nn.Dense(
                 self.input_dim,
                 use_bias=self.use_bias,
+                dtype=self.dtype,
                 kernel_init=torch_linear_kernel_init(),
                 bias_init=torch_linear_bias_init(self.n_channels),
                 name="embed_spikes",
@@ -201,6 +218,7 @@ class NeuralEmbeddingLayer(nn.Module):
             x = stack_timesteps(x, self.stack_size, self.stack_stride)
             x = nn.Dense(
                 self.hidden_size,
+                dtype=self.dtype,
                 kernel_init=torch_linear_kernel_init(),
                 bias_init=torch_linear_bias_init(self.input_dim * self.stack_size),
                 name="stack_projection",
@@ -218,6 +236,7 @@ class NeuralEmbeddingLayer(nn.Module):
         else:
             x = nn.Dense(
                 self.hidden_size,
+                dtype=self.dtype,
                 kernel_init=torch_linear_kernel_init(),
                 bias_init=torch_linear_bias_init(self.input_dim),
                 name="projection",
@@ -227,7 +246,7 @@ class NeuralEmbeddingLayer(nn.Module):
             pos_table = self.param(
                 "embed_pos", nn.initializers.normal(1.0), (self.max_F, self.hidden_size)
             )
-            x = x + pos_table[spikes_timestamp]
+            x = x + pos_table[spikes_timestamp].astype(self.dtype)
 
         if self.block_token:
             block_table = self.param(
@@ -265,12 +284,17 @@ class NeuralAttention(nn.Module):
     max_F: int
     n_layers: int
     fixup_init: bool
+    dtype: Any = jnp.float32
+    use_flash: bool = False
+    context_forward: Optional[int] = None   # flash path band (None = unbounded)
+    context_backward: Optional[int] = None
 
     @nn.compact
     def __call__(
         self,
         x: jax.Array,               # (B, T, H)
-        attn_mask: jax.Array,       # (B, 1, T, T) bool
+        attn_mask: Optional[jax.Array],  # (B, 1, T, T) bool, or None (flash)
+        key_valid: Optional[jax.Array],  # (B, T), flash path padding mask
         timestamp: Optional[jax.Array],
         training: bool,
     ) -> jax.Array:
@@ -282,6 +306,7 @@ class NeuralAttention(nn.Module):
         dense = lambda name, scale=1.0: nn.Dense(
             self.hidden_size,
             use_bias=self.use_bias,
+            dtype=self.dtype,
             kernel_init=torch_linear_kernel_init(scale),
             bias_init=torch_linear_bias_init(self.hidden_size),
             name=name,
@@ -300,7 +325,16 @@ class NeuralAttention(nn.Module):
             q = qh.transpose(0, 2, 1, 3)
             k = kh.transpose(0, 2, 1, 3)
 
-        out = dot_product_attention(q, k, v, mask=attn_mask)
+        if self.use_flash and attn_mask is None:
+            from llm_bci_tpu.ops.flash_attention import banded_flash_attention
+
+            out = banded_flash_attention(
+                q, k, v, key_valid,
+                context_forward=self.context_forward,
+                context_backward=self.context_backward,
+            )
+        else:
+            out = dot_product_attention(q, k, v, mask=attn_mask)
         out = out.reshape(B, T, self.hidden_size)
         out = nn.Dropout(self.dropout, deterministic=not training)(out)
         return dense("out_proj", fixup)(out)
@@ -315,12 +349,14 @@ class NeuralMLP(nn.Module):
     use_bias: bool
     dropout: float
     fixup_scale: float = 1.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, training: bool) -> jax.Array:
         x = nn.Dense(
             self.inter_size,
             use_bias=self.use_bias,
+            dtype=self.dtype,
             kernel_init=torch_linear_kernel_init(),
             bias_init=torch_linear_bias_init(self.hidden_size),
             name="up_proj",
@@ -329,6 +365,7 @@ class NeuralMLP(nn.Module):
         x = nn.Dense(
             self.hidden_size,
             use_bias=self.use_bias,
+            dtype=self.dtype,
             kernel_init=torch_linear_kernel_init(self.fixup_scale),
             bias_init=torch_linear_bias_init(self.inter_size),
             name="down_proj",
@@ -342,12 +379,17 @@ class NeuralEncoderLayer(nn.Module):
 
     max_F: int
     cfg: Any  # transformer sub-config (hashable DictConfig snapshot)
+    dtype: Any = jnp.float32
+    use_flash: bool = False
+    context_forward: Optional[int] = None
+    context_backward: Optional[int] = None
 
     @nn.compact
     def __call__(
         self,
         x: jax.Array,
-        attn_mask: jax.Array,
+        attn_mask: Optional[jax.Array],
+        key_valid: Optional[jax.Array],
         timestamp: Optional[jax.Array],
         training: bool,
     ) -> jax.Array:
@@ -363,8 +405,15 @@ class NeuralEncoderLayer(nn.Module):
             max_F=self.max_F,
             n_layers=c["n_layers"],
             fixup_init=c["fixup_init"],
+            dtype=self.dtype,
+            use_flash=self.use_flash,
+            context_forward=self.context_forward,
+            context_backward=self.context_backward,
             name="attn",
-        )(nn.LayerNorm(name="ln1")(x), attn_mask, timestamp if c["use_rope"] else None, training)
+        )(
+            nn.LayerNorm(name="ln1")(x), attn_mask, key_valid,
+            timestamp if c["use_rope"] else None, training,
+        )
         x = x + NeuralMLP(
             hidden_size=c["hidden_size"],
             inter_size=c["inter_size"],
@@ -372,6 +421,7 @@ class NeuralEncoderLayer(nn.Module):
             use_bias=c["mlp_bias"],
             dropout=c["dropout"],
             fixup_scale=fixup,
+            dtype=self.dtype,
             name="mlp",
         )(nn.LayerNorm(name="ln2")(x), training)
         return x
@@ -431,6 +481,8 @@ class NeuralEncoder(nn.Module):
         cfg = self.config
         emb = cfg["embedder"]
         tr = cfg["transformer"]
+        dt = dtype_from(cfg.get("compute_dtype"))
+        self.compute_dtype = dt
         self.masker_cfgs = tuple(
             MaskerConfig.from_config(DictConfig(m)) for m in cfg["masker"].values()
         )
@@ -460,9 +512,23 @@ class NeuralEncoder(nn.Module):
             stack_active=emb["stack"]["active"],
             stack_size=emb["stack"]["size"],
             stack_stride=emb["stack"]["stride"],
+            dtype=dt,
         )
+        ctx = cfg["context"]
+        self.use_flash = bool(tr.get("flash_attention", False))
+        fwd_w = None if ctx["forward"] < 0 else ctx["forward"]
+        bwd_w = None if ctx["backward"] < 0 else ctx["backward"]
+        # context value -1 means "mask self-offset" (window width -1 in that
+        # direction, models/ndt1.py:30-41); only expressible as a dense mask.
+        flash_ok = ctx["forward"] != -1 and ctx["backward"] != -1
+        self.use_flash = self.use_flash and flash_ok
         self.layers = [
-            NeuralEncoderLayer(max_F=emb["max_F"], cfg=tr, name=f"layer_{i}")
+            NeuralEncoderLayer(
+                max_F=emb["max_F"], cfg=tr, dtype=dt,
+                use_flash=self.use_flash,
+                context_forward=fwd_w, context_backward=bwd_w,
+                name=f"layer_{i}",
+            )
             for i in range(tr["n_layers"])
         ]
         self.out_norm = nn.LayerNorm(name="out_norm")
@@ -513,29 +579,35 @@ class NeuralEncoder(nn.Module):
             targets_mask = jnp.zeros(spikes.shape, dtype=jnp.int32)
 
         x, spikes_mask, spikes_timestamp = self.embedder(
-            spikes, spikes_mask, spikes_timestamp, block_idx, day_idx, training
+            spikes.astype(self.compute_dtype), spikes_mask, spikes_timestamp,
+            block_idx, day_idx, training,
         )
         Tn = x.shape[1]
 
-        # Built at the traced length (not sliced from a max_F buffer): the
-        # mask is static numpy per compilation, and generation may extend
-        # the sequence past max_F (pos-emb lookups clamp there).
-        if Tn <= self.context_mask_np.shape[0]:
-            context = jnp.asarray(self.context_mask_np[:Tn, :Tn])
+        if self.use_flash:
+            # Flash path: the band + padding mask is evaluated inside the
+            # Pallas kernel — no (B, T, T) mask tensor is ever materialized.
+            attn_mask = None
         else:
-            cfg_ctx = self.config["context"]
-            context = jnp.asarray(
-                create_context_mask(cfg_ctx["forward"], cfg_ctx["backward"], Tn)
-            )
-        attn_mask = make_attention_mask(spikes_mask, context)
+            # Built at the traced length (not sliced from a max_F buffer): the
+            # mask is static numpy per compilation, and generation may extend
+            # the sequence past max_F (pos-emb lookups clamp there).
+            if Tn <= self.context_mask_np.shape[0]:
+                context = jnp.asarray(self.context_mask_np[:Tn, :Tn])
+            else:
+                cfg_ctx = self.config["context"]
+                context = jnp.asarray(
+                    create_context_mask(cfg_ctx["forward"], cfg_ctx["backward"], Tn)
+                )
+            attn_mask = make_attention_mask(spikes_mask, context)
 
         for layer in self.layers:
             if remat:
-                x = nn.remat(NeuralEncoderLayer.__call__, static_argnums=(4,))(
-                    layer, x, attn_mask, spikes_timestamp, training
+                x = nn.remat(NeuralEncoderLayer.__call__, static_argnums=(5,))(
+                    layer, x, attn_mask, spikes_mask, spikes_timestamp, training
                 )
             else:
-                x = layer(x, attn_mask, spikes_timestamp, training)
+                x = layer(x, attn_mask, spikes_mask, spikes_timestamp, training)
         x = self.out_norm(x)
 
         # Drop day/block prefix tokens (reference models/ndt1.py:444-448).
@@ -544,7 +616,11 @@ class NeuralEncoder(nn.Module):
         if self.embedder.block_token:
             x = x[:, 1:, :]
 
-        return self.out_proj(x, training), spikes_mask, targets_mask
+        return (
+            self.out_proj(x, training).astype(jnp.float32),
+            spikes_mask,
+            targets_mask,
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -582,6 +658,8 @@ class NDT1(nn.Module):
             saved = yaml.safe_load(open(os.path.join(enc_pt, "encoder_config.yaml")))
             cfg["encoder"] = update_config(cfg["encoder"], saved)
             cfg["encoder"]["from_pt"] = enc_pt
+        if "compute_dtype" in method_kwargs and "compute_dtype" not in cfg["encoder"]:
+            cfg["encoder"]["compute_dtype"] = method_kwargs["compute_dtype"]
         kwargs = {k: v for k, v in method_kwargs.items() if k in (
             "method_name", "loss", "log_input", "vocab_size", "blank_id", "zero_infinity"
         )}

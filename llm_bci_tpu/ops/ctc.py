@@ -70,24 +70,55 @@ def ctc_loss(
     z_shift2 = jnp.concatenate([jnp.full((B, 2), -1, jnp.int32), z[:, :-2]], axis=1)
     can_skip = (z != blank_id) & (z != z_shift2)  # (B, L)
 
-    # alpha_0: only slots 0 (blank) and 1 (first label) are reachable.
-    emit0 = jnp.take_along_axis(log_probs[:, 0, :], z, axis=1)  # (B, L)
-    alpha0 = jnp.where(slot[None, :] <= 1, emit0, NEG_INF)
-    # Degenerate empty-target case: slot 1 unreachable when S_b == 0.
-    alpha0 = jnp.where((slot[None, :] == 1) & (target_lengths[:, None] == 0), NEG_INF, alpha0)
+    # Emission lattice for every frame in ONE batched gather — the scan then
+    # streams precomputed (B, L) rows instead of gathering from the full
+    # (B, T, V) tensor every sequential step (the scan is latency-bound on
+    # TPU; per-step work must be minimal).
+    emit_all = jnp.take_along_axis(
+        log_probs, jnp.broadcast_to(z[:, None, :], (B, T, L)), axis=2
+    )                                                            # (B, T, L)
 
-    def step(alpha, t):
-        emit = jnp.take_along_axis(log_probs[:, t, :], z, axis=1)  # (B, L)
-        stay = alpha
-        adv1 = jnp.concatenate([jnp.full((B, 1), NEG_INF), alpha[:, :-1]], axis=1)
-        adv2 = jnp.concatenate([jnp.full((B, 2), NEG_INF), alpha[:, :-2]], axis=1)
-        adv2 = jnp.where(can_skip, adv2, NEG_INF)
-        new_alpha = _logsumexp3(stay, adv1, adv2) + emit
+    # Lane-align the lattice: L = 2S+1 is odd; pad to a multiple of 128 so
+    # per-step VPU ops tile cleanly (dead slots stay at NEG_INF).
+    Lp = max(-(-L // 128) * 128, 128)
+    pad = Lp - L
+    emit_seq = jnp.pad(emit_all, ((0, 0), (0, 0), (0, pad))).transpose(1, 0, 2)
+    can_skip_p = jnp.pad(can_skip, ((0, 0), (0, pad)))
+    slot_p = jnp.arange(Lp)
+    skip_gate = jnp.where(can_skip_p, 0.0, NEG_INF)              # additive mask
+
+    # alpha_0: only slots 0 (blank) and 1 (first label) are reachable.
+    alpha0 = jnp.where(slot_p[None, :] <= 1, emit_seq[0], NEG_INF)
+    # Degenerate empty-target case: slot 1 unreachable when S_b == 0.
+    alpha0 = jnp.where(
+        (slot_p[None, :] == 1) & (target_lengths[:, None] == 0), NEG_INF, alpha0
+    )
+    alpha0 = jnp.where(slot_p[None, :] >= L, NEG_INF, alpha0)
+
+    neg_col1 = jnp.full((B, 1), NEG_INF)
+    neg_col2 = jnp.full((B, 2), NEG_INF)
+
+    def step(alpha, xs):
+        t, emit = xs
+        adv1 = jnp.concatenate([neg_col1, alpha[:, :-1]], axis=1)
+        adv2 = jnp.concatenate([neg_col2, alpha[:, :-2]], axis=1) + skip_gate
+        # One stacked 3-way logsumexp (fewer per-step kernels than three
+        # pairwise wheres; the scan body is latency-bound).
+        cand = jnp.stack([alpha, adv1, adv2], axis=1)            # (B, 3, Lp)
+        m = cand.max(axis=1)
+        dead = m <= NEG_INF
+        m_safe = jnp.where(dead, 0.0, m)
+        # Double-where keeps backward finite on dead slots (log(0) guard).
+        shifted = jnp.where(dead[:, None, :], 0.0, cand - m_safe[:, None, :])
+        lse = m_safe + jnp.log(jnp.sum(jnp.exp(shifted), axis=1))
+        new_alpha = jnp.where(dead, NEG_INF, lse) + emit
         # Frames past input_length leave alpha untouched.
         new_alpha = jnp.where((t < input_lengths)[:, None], new_alpha, alpha)
         return new_alpha, None
 
-    alpha, _ = jax.lax.scan(step, alpha0, jnp.arange(1, T))
+    alpha, _ = jax.lax.scan(
+        step, alpha0, (jnp.arange(1, T), emit_seq[1:]), unroll=1
+    )
     # T == 1 edge case: scan over an empty range returns alpha0 unchanged.
 
     # log p = logsumexp over the two terminal slots (last blank, last label).

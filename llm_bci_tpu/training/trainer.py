@@ -177,6 +177,11 @@ class Trainer:
         if model is None:
             model_class = NAME2MODEL[self.config.model.model_class]
             kwargs = {**dict(self.config.method.model_kwargs), **extra_model_kwargs}
+            # Mixed-precision policy flows from the trainer's precision block
+            # unless the method kwargs override it.
+            kwargs.setdefault(
+                "compute_dtype", self.config.get("precision", {}).get("compute_dtype")
+            )
             if hasattr(model_class, "from_config"):
                 self.model = model_class.from_config(self.config.model, **kwargs)
             else:
@@ -439,6 +444,8 @@ class Trainer:
     # ----------------------------------------------------------------- train
 
     def train(self) -> None:
+        import time
+
         config = self.config
         self.print_v(f"Starting run {config.savestring}", verbosity=0)
 
@@ -447,12 +454,35 @@ class Trainer:
         train_metrics = {name: [] for name in self.metric_fns}
         max_steps = config.training.get("max_steps")
 
+        # Throughput observability (reference has none, SURVEY.md §5):
+        # wall-clock per window of steps → samples/sec logged at eval points.
+        profile_cfg = config.get("profile") or {}
+        window_t0 = time.perf_counter()
+        window_samples = 0
+
         for epoch in range(1, int(config.training.num_epochs) + 1):
             self.print_v(f"Epoch {epoch}", verbosity=1)
             for model_inputs, unused_inputs in self.train_dataloader:
+                if profile_cfg and global_step == profile_cfg.get("start_step"):
+                    jax.profiler.start_trace(
+                        profile_cfg.get("dir", "profiles"),
+                    )
                 dev_batch = self._put_batch(model_inputs)
                 step_rng, self.rng = jax.random.split(self.rng)
                 self.state, outputs = self._train_step(self.state, dev_batch, step_rng)
+                window_samples += next(iter(dev_batch.values())).shape[0]
+                if profile_cfg and global_step == (
+                    profile_cfg.get("start_step", 0)
+                    + profile_cfg.get("num_steps", 5)
+                ):
+                    jax.tree_util.tree_map(
+                        lambda x: x.block_until_ready(), outputs["loss"]
+                    )
+                    jax.profiler.stop_trace()
+                    self.print_v(
+                        f"Profiler trace written to {profile_cfg.get('dir', 'profiles')}",
+                        verbosity=1,
+                    )
 
                 # Async: device scalars are appended without host sync; the
                 # .item() equivalents happen at log/eval boundaries.
@@ -503,12 +533,21 @@ class Trainer:
                         k: (sum(v) / len(v) if v else 0.0)
                         for k, v in train_metrics.items()
                     }
+                    dt = time.perf_counter() - window_t0
+                    throughput = window_samples / dt if dt > 0 else 0.0
                     self.print_v(
                         f"savestring={self.savestring} global_step={global_step}:\n"
                         f"train_avg_loss={train_avg_loss} train_avg_metrics={train_avg_metrics}\n"
-                        f"test_avg_loss={test_avg_loss} test_avg_metrics={test_avg_metrics}",
+                        f"test_avg_loss={test_avg_loss} test_avg_metrics={test_avg_metrics}\n"
+                        f"throughput={throughput:.1f} samples/s (incl. eval window)",
                         verbosity=1,
                     )
+                    if self.writer is not None:
+                        self.writer.add_scalar(
+                            "throughput/samples_per_sec", throughput, global_step
+                        )
+                    window_t0 = time.perf_counter()
+                    window_samples = 0
                     if self.writer is not None:
                         self.writer.add_scalar("Loss/train", train_avg_loss, global_step)
                         for name, v in train_avg_metrics.items():

@@ -1,0 +1,103 @@
+"""Pallas banded flash attention vs dense reference (interpret mode on CPU),
+forward and gradients, with window + padding masks."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llm_bci_tpu.ops import flash_attention as fa
+
+fa.set_interpret_mode(True)
+
+
+def dense_reference(q, k, v, key_valid, fwd, bwd):
+    B, T, H, D = q.shape
+    scale = 1.0 / np.sqrt(D)
+    s = jnp.einsum("bthd,bshd->bhts", q, k) * scale
+    i = jnp.arange(T)[:, None]
+    j = jnp.arange(T)[None, :]
+    f = T if fwd is None else fwd
+    bw = T if bwd is None else bwd
+    band = (j >= i - bw) & (j <= i + f)
+    mask = band[None, None] & key_valid.astype(bool)[:, None, None, :]
+    s = jnp.where(mask, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    # dead rows (no valid key) → 0
+    dead = ~mask.any(-1)
+    p = jnp.where(dead[..., None], 0.0, p)
+    return jnp.einsum("bhts,bshd->bthd", p, v)
+
+
+def make_inputs(B=2, T=24, H=2, D=16, seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.normal(size=(B, T, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, T, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, T, H, D)).astype(np.float32))
+    return q, k, v
+
+
+@pytest.mark.parametrize(
+    "fwd,bwd",
+    [(None, None), (0, None), (3, 5), (0, 0)],
+)
+def test_forward_matches_dense(fwd, bwd):
+    q, k, v = make_inputs()
+    B, T = q.shape[:2]
+    valid = jnp.ones((B, T), jnp.int32)
+    out = fa.banded_flash_attention(
+        q, k, v, valid, context_forward=fwd, context_backward=bwd,
+        block_q=8, block_k=8,
+    )
+    ref = dense_reference(q, k, v, valid, fwd, bwd)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_forward_with_padding():
+    q, k, v = make_inputs(T=16)
+    B, T = q.shape[:2]
+    # right-padded keys
+    valid = jnp.concatenate([jnp.ones((B, 10), jnp.int32), jnp.zeros((B, 6), jnp.int32)], 1)
+    out = fa.banded_flash_attention(q, k, v, valid, block_q=8, block_k=8)
+    ref = dense_reference(q, k, v, valid, None, None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_dead_rows_zero():
+    q, k, v = make_inputs(T=8)
+    B, T = q.shape[:2]
+    valid = jnp.zeros((B, T), jnp.int32)
+    out = fa.banded_flash_attention(q, k, v, valid, block_q=8, block_k=8)
+    np.testing.assert_allclose(np.asarray(out), 0.0)
+
+
+def test_gradients_match_dense():
+    q, k, v = make_inputs(T=16, D=8)
+    B, T = q.shape[:2]
+    valid = jnp.concatenate([jnp.ones((B, 12), jnp.int32), jnp.zeros((B, 4), jnp.int32)], 1)
+    fwd, bwd = 4, 6
+
+    def loss_fa(q, k, v):
+        out = fa.banded_flash_attention(
+            q, k, v, valid, context_forward=fwd, context_backward=bwd,
+            block_q=8, block_k=8,
+        )
+        return (out * jnp.arange(out.size).reshape(out.shape)).sum()
+
+    def loss_ref(q, k, v):
+        out = dense_reference(q, k, v, valid, fwd, bwd)
+        return (out * jnp.arange(out.size).reshape(out.shape)).sum()
+
+    g_fa = jax.grad(loss_fa, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_fa, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3)
+
+
+def test_odd_lengths_and_head_dim():
+    # T not a multiple of the block, D < 128 → wrapper pads and slices back.
+    q, k, v = make_inputs(T=13, D=5)
+    B, T = q.shape[:2]
+    valid = jnp.ones((B, T), jnp.int32)
+    out = fa.banded_flash_attention(q, k, v, valid, block_q=8, block_k=8)
+    ref = dense_reference(q, k, v, valid, None, None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
