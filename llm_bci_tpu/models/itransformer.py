@@ -30,7 +30,7 @@ from llm_bci_tpu.config import DictConfig, to_plain_dict, update_config, resolve
 from llm_bci_tpu.model_output import ModelOutput
 from llm_bci_tpu.models.layers import MLPStack, TorchEncoderStack
 from llm_bci_tpu.models.masker import MaskerConfig, apply_maskers
-from llm_bci_tpu.models.ndt1 import ACT2FN
+from llm_bci_tpu.models.ndt1 import ACT2FN, dtype_from
 from llm_bci_tpu.ops.ctc import ctc_loss
 from llm_bci_tpu.ops.losses import cross_entropy_loss, mse_loss, poisson_nll_loss
 from llm_bci_tpu.registry import register_model
@@ -124,13 +124,15 @@ class iTransformerEncoder(nn.Module):
         emb = cfg["embedder"]
         H = cfg["hidden_size"]
         act = ACT2FN[cfg["activation"]]
+        dt = dtype_from(cfg.get("compute_dtype")) if cfg.get("compute_dtype") else None
         B, T, N = spikes.shape
 
         if emb["mode"] == "mlp":
             # MLP over the (padded) time axis per channel; LayerNorm after
             # (reference models/itransformer.py:108-117 "MAJOR CHANGE").
             tokens = MLPStack(
-                (H, H), act, emb["dropout"], use_bias=cfg["bias"], name="embed_mlp"
+                (H, H), act, emb["dropout"], use_bias=cfg["bias"], dtype=dt,
+                name="embed_mlp",
             )(spikes.transpose(0, 2, 1), training)
             tokens = nn.LayerNorm(name="embed_norm")(tokens)
         elif emb["mode"] == "transformer":
@@ -176,9 +178,11 @@ class iTransformerEncoder(nn.Module):
             tokens = jnp.concatenate([cls_tok, tokens], axis=1)
 
         tokens = nn.Dropout(emb["dropout"], deterministic=not training)(tokens)
-        return TorchEncoderStack(
-            H, cfg["n_heads"], cfg["n_layers"], act, cfg["dropout"], name="transformer"
+        out = TorchEncoderStack(
+            H, cfg["n_heads"], cfg["n_layers"], act, cfg["dropout"], dtype=dt,
+            name="transformer",
         )(tokens, training=training)
+        return out.astype(jnp.float32)
 
 
 @register_model("iTransformer")
@@ -204,6 +208,8 @@ class iTransformer(nn.Module):
                 saved = yaml.safe_load(open(os.path.join(pt, f"{comp}_config.yaml")))
                 cfg[comp] = update_config(cfg[comp], saved)
                 cfg[comp]["from_pt"] = pt
+        if method_kwargs.get("compute_dtype") and "compute_dtype" not in cfg["encoder"]:
+            cfg["encoder"]["compute_dtype"] = method_kwargs["compute_dtype"]
         kwargs = {
             k: v
             for k, v in method_kwargs.items()

@@ -9,7 +9,7 @@ shares one hot kernel.
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -23,6 +23,7 @@ class MultiHeadSelfAttention(nn.Module):
     n_heads: int
     dropout: float = 0.0
     use_bias: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -33,14 +34,18 @@ class MultiHeadSelfAttention(nn.Module):
     ) -> jax.Array:
         B, T, _ = x.shape
         head = self.hidden_size // self.n_heads
-        qkv = nn.Dense(3 * self.hidden_size, use_bias=self.use_bias, name="qkv")(x)
+        qkv = nn.Dense(
+            3 * self.hidden_size, use_bias=self.use_bias, dtype=self.dtype, name="qkv"
+        )(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(B, T, self.n_heads, head)
         k = k.reshape(B, T, self.n_heads, head)
         v = v.reshape(B, T, self.n_heads, head)
         out = dot_product_attention(q, k, v, mask=mask).reshape(B, T, self.hidden_size)
         out = nn.Dropout(self.dropout, deterministic=not training)(out)
-        return nn.Dense(self.hidden_size, use_bias=self.use_bias, name="out_proj")(out)
+        return nn.Dense(
+            self.hidden_size, use_bias=self.use_bias, dtype=self.dtype, name="out_proj"
+        )(out)
 
 
 class TorchEncoderLayer(nn.Module):
@@ -52,18 +57,19 @@ class TorchEncoderLayer(nn.Module):
     act: Callable
     dropout: float = 0.0
     ffn_mult: int = 4
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, mask=None, training: bool = False):
         a = MultiHeadSelfAttention(
-            self.hidden_size, self.n_heads, self.dropout, name="attn"
+            self.hidden_size, self.n_heads, self.dropout, dtype=self.dtype, name="attn"
         )(x, mask, training)
         a = nn.Dropout(self.dropout, deterministic=not training)(a)
         x = nn.LayerNorm(name="norm1")(x + a)
-        h = nn.Dense(self.ffn_mult * self.hidden_size, name="linear1")(x)
+        h = nn.Dense(self.ffn_mult * self.hidden_size, dtype=self.dtype, name="linear1")(x)
         h = self.act(h)
         h = nn.Dropout(self.dropout, deterministic=not training)(h)
-        h = nn.Dense(self.hidden_size, name="linear2")(h)
+        h = nn.Dense(self.hidden_size, dtype=self.dtype, name="linear2")(h)
         h = nn.Dropout(self.dropout, deterministic=not training)(h)
         return nn.LayerNorm(name="norm2")(x + h)
 
@@ -77,12 +83,14 @@ class TorchEncoderStack(nn.Module):
     n_layers: int
     act: Callable
     dropout: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, mask=None, training: bool = False):
         for i in range(self.n_layers):
             x = TorchEncoderLayer(
-                self.hidden_size, self.n_heads, self.act, self.dropout, name=f"layer_{i}"
+                self.hidden_size, self.n_heads, self.act, self.dropout,
+                dtype=self.dtype, name=f"layer_{i}",
             )(x, mask, training)
         return nn.LayerNorm(name="norm")(x)
 
@@ -96,12 +104,13 @@ class MLPStack(nn.Module):
     act: Callable
     dropout: float = 0.0
     use_bias: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         n = len(self.hidden_channels)
         for i, h in enumerate(self.hidden_channels):
-            x = nn.Dense(h, use_bias=self.use_bias, name=f"dense_{i}")(x)
+            x = nn.Dense(h, use_bias=self.use_bias, dtype=self.dtype, name=f"dense_{i}")(x)
             if i < n - 1:
                 x = self.act(x)
             x = nn.Dropout(self.dropout, deterministic=not training)(x)

@@ -37,7 +37,7 @@ from flax.core import unfreeze
 
 from llm_bci_tpu.config import to_plain_dict, update_config, resolve_path
 from llm_bci_tpu.model_output import ModelOutput
-from llm_bci_tpu.models.ndt1 import ACT2FN
+from llm_bci_tpu.models.ndt1 import ACT2FN, dtype_from
 from llm_bci_tpu.ops.attention import dot_product_attention
 from llm_bci_tpu.ops.ctc import ctc_loss
 from llm_bci_tpu.ops.losses import mse_loss, poisson_nll_loss
@@ -118,6 +118,7 @@ class PatchTSTEncoderLayer(nn.Module):
         c = self.cfg
         D = c["d_model"]
         H = c["num_attention_heads"]
+        dt = dtype_from(c.get("compute_dtype")) if c.get("compute_dtype") else None
         act = ACT2FN[c["activation_function"]]
         pre_norm = bool(c.get("pre_norm", True))
         attn_drop = float(c.get("attention_dropout", 0.0))
@@ -126,20 +127,20 @@ class PatchTSTEncoderLayer(nn.Module):
 
         def attn_block(h):
             BC, P, _ = h.shape
-            qkv = nn.Dense(3 * D, use_bias=c.get("bias", True), name="qkv")(h)
+            qkv = nn.Dense(3 * D, use_bias=c.get("bias", True), dtype=dt, name="qkv")(h)
             q, k, v = jnp.split(qkv, 3, axis=-1)
             q = q.reshape(BC, P, H, D // H)
             k = k.reshape(BC, P, H, D // H)
             v = v.reshape(BC, P, H, D // H)
             out = dot_product_attention(q, k, v).reshape(BC, P, D)
             out = nn.Dropout(attn_drop, deterministic=not training)(out)
-            return nn.Dense(D, use_bias=c.get("bias", True), name="attn_out")(out)
+            return nn.Dense(D, use_bias=c.get("bias", True), dtype=dt, name="attn_out")(out)
 
         def ff_block(h):
-            h = nn.Dense(c["ffn_dim"], use_bias=c.get("bias", True), name="ff1")(h)
+            h = nn.Dense(c["ffn_dim"], use_bias=c.get("bias", True), dtype=dt, name="ff1")(h)
             h = act(h)
             h = nn.Dropout(ff_drop, deterministic=not training)(h)
-            return nn.Dense(D, use_bias=c.get("bias", True), name="ff2")(h)
+            return nn.Dense(D, use_bias=c.get("bias", True), dtype=dt, name="ff2")(h)
 
         drop_path = nn.Dropout(path_drop, deterministic=not training, name="drop_path")
         norm1 = PatchTSTNorm(c.get("norm_type", "batchnorm"), c.get("norm_eps", 1e-5), name="norm1")
@@ -205,7 +206,7 @@ class PatchTSTEncoder(nn.Module):
         x = x.reshape(B * C, P, D)
         for i in range(c["num_hidden_layers"]):
             x = PatchTSTEncoderLayer(cfg=c, name=f"layer_{i}")(x, training)
-        x = x.reshape(B, C, P, D)
+        x = x.reshape(B, C, P, D).astype(jnp.float32)
         return x, mask, patch_input
 
 
@@ -314,6 +315,8 @@ class PatchTSTForSpikingActivity(nn.Module):
                 saved = yaml.safe_load(open(os.path.join(pt, f"{comp}_config.yaml")))
                 cfg[comp] = update_config(cfg[comp], saved)
                 cfg[comp]["from_pt"] = pt
+        if method_kwargs.get("compute_dtype") and "compute_dtype" not in cfg["encoder"]:
+            cfg["encoder"]["compute_dtype"] = method_kwargs["compute_dtype"]
         kwargs = {
             k: v
             for k, v in method_kwargs.items()

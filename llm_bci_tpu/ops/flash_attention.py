@@ -8,13 +8,19 @@ tensor at all — the banded window ``[i - backward, i + forward]``
 (reference ``models/ndt1.py:30-41``) and the key-padding mask are evaluated
 from block indices + a (B, S) validity vector inside the kernel.
 
+Performance structure: the k-block sweep is a *grid dimension* (not an
+in-kernel loop) with "arbitrary" semantics, so Mosaic double-buffers the
+K/V DMAs against compute; the k index map is clamped to the band, so
+off-band blocks are never fetched; QKᵀ/PV ride the MXU in the input dtype
+(bf16) with fp32 accumulation; softmax state (m, l, acc) lives in VMEM
+scratch across the k sweep.
+
 Forward + backward (recompute-based) via ``jax.custom_vjp``; rows with no
 valid key produce 0 (downstream losses mask them, so the reference's
 "self-attend hack" for padded rows is unnecessary).
 
-Layout: (B, T, H, D) public API matching
-:func:`llm_bci_tpu.ops.attention.dot_product_attention`; internally
-(B*H, T, D) with T padded to the q/k block size and D padded to 128 lanes.
+Layout: (B, T, H, D) public API; internally (B*H, T, D) padded to block
+multiples (T) and 128 lanes (D).
 """
 from __future__ import annotations
 
@@ -25,6 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 _INTERPRET = False  # set True to run kernels in interpreter mode (tests/CPU)
@@ -35,106 +42,142 @@ def set_interpret_mode(value: bool) -> None:
     _INTERPRET = value
 
 
-def _band_bounds(fwd: Optional[int], bwd: Optional[int], T: int) -> Tuple[int, int]:
-    """Static (forward, backward) widths; None/unbounded → T."""
-    f = T if fwd is None else fwd
-    b = T if bwd is None else bwd
-    return f, b
+def _compiler_params(semantics):
+    if _INTERPRET:
+        return None
+    try:
+        return pltpu.CompilerParams(dimension_semantics=semantics)
+    except TypeError:  # older/newer param name differences
+        return None
+
+
+def _band_kblocks(bq: int, bk: int, fwd: int, bwd: int, nK: int) -> int:
+    """Number of k blocks any q block can touch within the band."""
+    span = bwd + fwd + bq  # key positions reachable from a q block
+    return min(-(-span // bk) + 1, nK)
+
+
+def _band_qblocks(bq: int, bk: int, fwd: int, bwd: int, nQ: int) -> int:
+    span = fwd + bwd + bk
+    return min(-(-span // bq) + 1, nQ)
 
 
 # ---------------------------------------------------------------------------
-# Forward kernel
+# Forward kernel — grid (BH, nQ, nKb); k sweep innermost with VMEM carry
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(
     q_ref,        # (1, Bq, D)
-    k_ref,        # (1, S, D)
-    v_ref,        # (1, S, D)
-    valid_ref,    # (1, 1, S)
+    k_ref,        # (1, Bk, D)
+    v_ref,        # (1, Bk, D)
+    valid_ref,    # (1, 1, Bk)
     o_ref,        # (1, Bq, D)
     lse_ref,      # (1, 1, Bq)
+    acc_ref,      # VMEM (Bq, D) f32
+    m_ref,        # VMEM (Bq, 128) f32
+    l_ref,        # VMEM (Bq, 128) f32
     *,
     fwd: int,
     bwd: int,
+    block_q: int,
     block_k: int,
+    n_kb: int,
+    num_k_blocks: int,
     scale: float,
 ):
     qi = pl.program_id(1)
-    Bq = q_ref.shape[1]
-    S = k_ref.shape[1]
-    D = q_ref.shape[2]
-    q = q_ref[0].astype(jnp.float32) * scale               # (Bq, D)
-    q_pos = qi * Bq + jax.lax.broadcasted_iota(jnp.int32, (Bq, 1), 0)[:, 0]
+    kj = pl.program_id(2)
+    Bq, D = q_ref.shape[1], q_ref.shape[2]
+    lo_kb = jnp.maximum((qi * block_q - bwd) // block_k, 0)
+    kb = jnp.minimum(lo_kb + kj, num_k_blocks - 1)
 
-    num_kb = S // block_k
-    # Band-restricted k-block range for this q block.
-    lo_kb = jnp.maximum((qi * Bq - bwd) // block_k, 0)
-    hi_kb = jnp.minimum(((qi + 1) * Bq - 1 + fwd) // block_k + 1, num_kb)
+    @pl.when(kj == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
 
-    def body(kb, carry):
-        acc, m_i, l_i = carry
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        valid = valid_ref[0, 0, pl.ds(kb * block_k, block_k)]
+    # Clamped duplicate blocks at the edges are fully masked out below, and
+    # blocks beyond the band contribute nothing: compute only when in band.
+    q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (Bq, block_k), 0)
+    k_pos = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (Bq, block_k), 1)
+    in_band = (k_pos >= q_pos - bwd) & (k_pos <= q_pos + fwd)
+    not_duplicate = kj == 0  # first sweep position is never a clamp-duplicate
+    is_dup = (jnp.minimum(lo_kb + kj, num_k_blocks - 1) != lo_kb + kj) & (~not_duplicate)
 
+    @pl.when(jnp.logical_not(is_dup))
+    def _compute():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        valid = valid_ref[0, 0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )                                                   # (Bq, Bk)
-        k_pos = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (Bq, block_k), 1)
-        i = q_pos[:, None]
-        mask = (k_pos >= i - bwd) & (k_pos <= i + fwd) & (valid[None, :] != 0)
+        ) * scale                                           # (Bq, Bk) f32
+        mask = in_band & (valid[None, :] != 0)
         s = jnp.where(mask, s, NEG_INF)
 
-        m_new = jnp.maximum(m_i, jnp.max(s, axis=1))
-        # exp-normalize with dead-row protection
-        alpha = jnp.exp(jnp.minimum(m_i - m_new, 0.0))
-        alpha = jnp.where(m_i <= NEG_INF, 0.0, alpha)
+        m_prev = m_ref[:, 0]
+        l_prev = l_ref[:, 0]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1))
+        alpha = jnp.exp(jnp.minimum(m_prev - m_new, 0.0))
+        alpha = jnp.where(m_prev <= NEG_INF, 0.0, alpha)
         p = jnp.exp(s - m_new[:, None])
         p = jnp.where(mask, p, 0.0)
-        l_new = l_i * alpha + jnp.sum(p, axis=1)
-        acc_new = acc * alpha[:, None] + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        l_new = l_prev * alpha + jnp.sum(p, axis=1)
+        acc_ref[...] = acc_ref[...] * alpha[:, None] + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        return acc_new, m_new, l_new
+        m_ref[...] = jnp.broadcast_to(m_new[:, None], m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_new[:, None], l_ref.shape)
 
-    acc0 = jnp.zeros((Bq, D), jnp.float32)
-    m0 = jnp.full((Bq,), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((Bq,), jnp.float32)
-    acc, m_i, l_i = jax.lax.fori_loop(lo_kb, hi_kb, body, (acc0, m0, l0))
-
-    l_safe = jnp.where(l_i > 0, l_i, 1.0)
-    o_ref[0] = (acc / l_safe[:, None]).astype(o_ref.dtype)
-    lse = jnp.where(l_i > 0, m_i + jnp.log(l_safe), NEG_INF)
-    lse_ref[0, 0] = lse.astype(jnp.float32)
+    @pl.when(kj == n_kb - 1)
+    def _finalize():
+        l_i = l_ref[:, 0]
+        m_i = m_ref[:, 0]
+        l_safe = jnp.where(l_i > 0, l_i, 1.0)
+        o_ref[0] = (acc_ref[...] / l_safe[:, None]).astype(o_ref.dtype)
+        lse_ref[0, 0] = jnp.where(l_i > 0, m_i + jnp.log(l_safe), NEG_INF)
 
 
-def _flash_fwd(
-    q, k, v, key_valid, fwd, bwd, scale, block_q, block_k
-):
-    """(BH, T, D) inputs → (out, lse)."""
+def _flash_fwd(q, k, v, key_valid, fwd, bwd, scale, block_q, block_k):
     BH, T, D = q.shape
-    S = k.shape[1]
-    grid = (BH, T // block_q)
+    nQ = T // block_q
+    nK = T // block_k
+    n_kb = _band_kblocks(block_q, block_k, fwd, bwd, nK)
+
+    def kidx(b, qi, kj):
+        lo = jnp.maximum((qi * block_q - bwd) // block_k, 0)
+        return (b, jnp.minimum(lo + kj, nK - 1), 0)
+
     kernel = functools.partial(
-        _fwd_kernel, fwd=fwd, bwd=bwd, block_k=block_k, scale=scale
+        _fwd_kernel, fwd=fwd, bwd=bwd, block_q=block_q, block_k=block_k,
+        n_kb=n_kb, num_k_blocks=nK, scale=scale,
     )
     out, lse = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(BH, nQ, n_kb),
         in_specs=[
-            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, S, D), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, S, D), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, 1, S), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, block_q, D), lambda b, qi, kj: (b, qi, 0)),
+            pl.BlockSpec((1, block_k, D), kidx),
+            pl.BlockSpec((1, block_k, D), kidx),
+            pl.BlockSpec((1, 1, block_k), lambda b, qi, kj: kidx(b, qi, kj)[:1] + (0,) + kidx(b, qi, kj)[1:2]),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i)),
+            pl.BlockSpec((1, block_q, D), lambda b, qi, kj: (b, qi, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda b, qi, kj: (b, 0, qi)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((BH, T, D), q.dtype),
             jax.ShapeDtypeStruct((BH, 1, T), jnp.float32),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, D), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
+        compiler_params=_compiler_params(("parallel", "parallel", "arbitrary")),
         interpret=_INTERPRET,
     )(q, k, v, key_valid)
     return out, lse
@@ -146,143 +189,182 @@ def _flash_fwd(
 
 def _bwd_dq_kernel(
     q_ref, k_ref, v_ref, valid_ref, do_ref, lse_ref, delta_ref,
-    dq_ref,
-    *, fwd: int, bwd: int, block_k: int, scale: float,
+    dq_ref, dq_acc,
+    *, fwd: int, bwd: int, block_q: int, block_k: int,
+    n_kb: int, num_k_blocks: int, scale: float,
 ):
     qi = pl.program_id(1)
-    Bq = q_ref.shape[1]
-    S = k_ref.shape[1]
-    D = q_ref.shape[2]
-    q = q_ref[0].astype(jnp.float32) * scale
-    do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0, 0]
-    delta = delta_ref[0, 0]
-    q_pos = qi * Bq + jax.lax.broadcasted_iota(jnp.int32, (Bq, 1), 0)[:, 0]
+    kj = pl.program_id(2)
+    Bq, D = q_ref.shape[1], q_ref.shape[2]
+    lo_kb = jnp.maximum((qi * block_q - bwd) // block_k, 0)
+    kb = jnp.minimum(lo_kb + kj, num_k_blocks - 1)
 
-    num_kb = S // block_k
-    lo_kb = jnp.maximum((qi * Bq - bwd) // block_k, 0)
-    hi_kb = jnp.minimum(((qi + 1) * Bq - 1 + fwd) // block_k + 1, num_kb)
+    @pl.when(kj == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
 
-    def body(kb, dq):
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        valid = valid_ref[0, 0, pl.ds(kb * block_k, block_k)]
+    is_dup = (jnp.minimum(lo_kb + kj, num_k_blocks - 1) != lo_kb + kj) & (kj != 0)
+
+    @pl.when(jnp.logical_not(is_dup))
+    def _compute():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0, 0]
+        delta = delta_ref[0, 0]
+        valid = valid_ref[0, 0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        k_pos = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (Bq, block_k), 1)
-        i = q_pos[:, None]
-        mask = (k_pos >= i - bwd) & (k_pos <= i + fwd) & (valid[None, :] != 0)
+        ) * scale
+        q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (Bq, s.shape[1]), 0)
+        k_pos = kb * s.shape[1] + jax.lax.broadcasted_iota(jnp.int32, (Bq, s.shape[1]), 1)
+        mask = (k_pos >= q_pos - bwd) & (k_pos <= q_pos + fwd) & (valid[None, :] != 0)
         p = jnp.where(mask, jnp.exp(s - lse[:, None]), 0.0)
         dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         ds = p * (dp - delta[:, None])
-        return dq + jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        dq_acc[...] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
 
-    dq = jax.lax.fori_loop(lo_kb, hi_kb, body, jnp.zeros((Bq, D), jnp.float32))
-    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+    @pl.when(kj == n_kb - 1)
+    def _finalize():
+        dq_ref[0] = (dq_acc[...] * scale).astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(
     q_ref, k_ref, v_ref, valid_ref, do_ref, lse_ref, delta_ref,
-    dk_ref, dv_ref,
-    *, fwd: int, bwd: int, block_q: int, scale: float,
+    dk_ref, dv_ref, dk_acc, dv_acc,
+    *, fwd: int, bwd: int, block_q: int, block_k: int,
+    n_qb: int, num_q_blocks: int, scale: float,
 ):
     ki = pl.program_id(1)
-    Bk = k_ref.shape[1]
-    T = q_ref.shape[1]
-    D = k_ref.shape[2]
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    valid = valid_ref[0, 0]
-    k_pos = ki * Bk + jax.lax.broadcasted_iota(jnp.int32, (Bk, 1), 0)[:, 0]
+    qj = pl.program_id(2)
+    Bk, D = k_ref.shape[1], k_ref.shape[2]
+    lo_qb = jnp.maximum((ki * block_k - fwd) // block_q, 0)
+    qb = jnp.minimum(lo_qb + qj, num_q_blocks - 1)
 
-    num_qb = T // block_q
-    # Queries whose band reaches this k block: i >= j - fwd, i <= j + bwd.
-    lo_qb = jnp.maximum((ki * Bk - fwd) // block_q, 0)
-    hi_qb = jnp.minimum(((ki + 1) * Bk - 1 + bwd) // block_q + 1, num_qb)
+    @pl.when(qj == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    def body(qb, carry):
-        dk, dv = carry
-        q = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32) * scale
-        do = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, 0, pl.ds(qb * block_q, block_q)]
-        delta = delta_ref[0, 0, pl.ds(qb * block_q, block_q)]
+    is_dup = (jnp.minimum(lo_qb + qj, num_q_blocks - 1) != lo_qb + qj) & (qj != 0)
+
+    @pl.when(jnp.logical_not(is_dup))
+    def _compute():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0, 0]
+        delta = delta_ref[0, 0]
+        valid = valid_ref[0, 0]
+        Bq = q.shape[0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )                                                   # (Bq, Bk)
-        q_pos = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, Bk), 0)
-        j = k_pos[None, :]
-        mask = (j >= q_pos - bwd) & (j <= q_pos + fwd) & (valid[None, :] != 0)
+        ) * scale                                           # (Bq, Bk)
+        q_pos = qb * Bq + jax.lax.broadcasted_iota(jnp.int32, (Bq, Bk), 0)
+        k_pos = ki * Bk + jax.lax.broadcasted_iota(jnp.int32, (Bq, Bk), 1)
+        mask = (k_pos >= q_pos - bwd) & (k_pos <= q_pos + fwd) & (valid[None, :] != 0)
         p = jnp.where(mask, jnp.exp(s - lse[:, None]), 0.0)
-        dv_new = dv + jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        dv_acc[...] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        ds = p * (dp - delta[:, None])
-        dk_new = dk + jax.lax.dot_general(
+        ds = (p * (dp - delta[:, None])).astype(q.dtype)
+        dk_acc[...] += jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-        return dk_new, dv_new
 
-    dk0 = jnp.zeros((Bk, D), jnp.float32)
-    dv0 = jnp.zeros((Bk, D), jnp.float32)
-    dk, dv = jax.lax.fori_loop(lo_qb, hi_qb, body, (dk0, dv0))
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+    @pl.when(qj == n_qb - 1)
+    def _finalize():
+        dk_ref[0] = (dk_acc[...] * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
 def _flash_bwd(q, k, v, key_valid, out, lse, do, fwd, bwd, scale, block_q, block_k):
     BH, T, D = q.shape
-    S = k.shape[1]
-    delta = jnp.sum(out.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)[:, None, :]  # (BH, 1, T)
+    nQ = T // block_q
+    nK = T // block_k
+    n_kb = _band_kblocks(block_q, block_k, fwd, bwd, nK)
+    n_qb = _band_qblocks(block_q, block_k, fwd, bwd, nQ)
+    delta = jnp.sum(out.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)[:, None, :]
+
+    def kidx(b, qi, kj):
+        lo = jnp.maximum((qi * block_q - bwd) // block_k, 0)
+        return (b, jnp.minimum(lo + kj, nK - 1), 0)
+
+    def kidx3(b, qi, kj):
+        lo = jnp.maximum((qi * block_q - bwd) // block_k, 0)
+        return (b, 0, jnp.minimum(lo + kj, nK - 1))
 
     dq = pl.pallas_call(
         functools.partial(
-            _bwd_dq_kernel, fwd=fwd, bwd=bwd, block_k=block_k, scale=scale
+            _bwd_dq_kernel, fwd=fwd, bwd=bwd, block_q=block_q, block_k=block_k,
+            n_kb=n_kb, num_k_blocks=nK, scale=scale,
         ),
-        grid=(BH, T // block_q),
+        grid=(BH, nQ, n_kb),
         in_specs=[
-            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, S, D), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, S, D), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, 1, S), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i)),
-            pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i)),
+            pl.BlockSpec((1, block_q, D), lambda b, qi, kj: (b, qi, 0)),
+            pl.BlockSpec((1, block_k, D), kidx),
+            pl.BlockSpec((1, block_k, D), kidx),
+            pl.BlockSpec((1, 1, block_k), kidx3),
+            pl.BlockSpec((1, block_q, D), lambda b, qi, kj: (b, qi, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda b, qi, kj: (b, 0, qi)),
+            pl.BlockSpec((1, 1, block_q), lambda b, qi, kj: (b, 0, qi)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0)),
+        out_specs=pl.BlockSpec((1, block_q, D), lambda b, qi, kj: (b, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((BH, T, D), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        compiler_params=_compiler_params(("parallel", "parallel", "arbitrary")),
         interpret=_INTERPRET,
     )(q, k, v, key_valid, do, lse, delta)
 
+    def qidx(b, ki, qj):
+        lo = jnp.maximum((ki * block_k - fwd) // block_q, 0)
+        return (b, jnp.minimum(lo + qj, nQ - 1), 0)
+
+    def qidx3(b, ki, qj):
+        lo = jnp.maximum((ki * block_k - fwd) // block_q, 0)
+        return (b, 0, jnp.minimum(lo + qj, nQ - 1))
+
     dk, dv = pl.pallas_call(
         functools.partial(
-            _bwd_dkv_kernel, fwd=fwd, bwd=bwd, block_q=block_q, scale=scale
+            _bwd_dkv_kernel, fwd=fwd, bwd=bwd, block_q=block_q, block_k=block_k,
+            n_qb=n_qb, num_q_blocks=nQ, scale=scale,
         ),
-        grid=(BH, S // block_k),
+        grid=(BH, nK, n_qb),
         in_specs=[
-            pl.BlockSpec((1, T, D), lambda b, j: (b, 0, 0)),
-            pl.BlockSpec((1, block_k, D), lambda b, j: (b, j, 0)),
-            pl.BlockSpec((1, block_k, D), lambda b, j: (b, j, 0)),
-            pl.BlockSpec((1, 1, block_k), lambda b, j: (b, 0, j)),
-            pl.BlockSpec((1, T, D), lambda b, j: (b, 0, 0)),
-            pl.BlockSpec((1, 1, T), lambda b, j: (b, 0, 0)),
-            pl.BlockSpec((1, 1, T), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, block_q, D), qidx),
+            pl.BlockSpec((1, block_k, D), lambda b, ki, qj: (b, ki, 0)),
+            pl.BlockSpec((1, block_k, D), lambda b, ki, qj: (b, ki, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda b, ki, qj: (b, 0, ki)),
+            pl.BlockSpec((1, block_q, D), qidx),
+            pl.BlockSpec((1, 1, block_q), qidx3),
+            pl.BlockSpec((1, 1, block_q), qidx3),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_k, D), lambda b, j: (b, j, 0)),
-            pl.BlockSpec((1, block_k, D), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, D), lambda b, ki, qj: (b, ki, 0)),
+            pl.BlockSpec((1, block_k, D), lambda b, ki, qj: (b, ki, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((BH, S, D), k.dtype),
-            jax.ShapeDtypeStruct((BH, S, D), v.dtype),
+            jax.ShapeDtypeStruct((BH, T, D), k.dtype),
+            jax.ShapeDtypeStruct((BH, T, D), v.dtype),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, D), jnp.float32),
+            pltpu.VMEM((block_k, D), jnp.float32),
+        ],
+        compiler_params=_compiler_params(("parallel", "parallel", "arbitrary")),
         interpret=_INTERPRET,
     )(q, k, v, key_valid, do, lse, delta)
     return dq, dk, dv
@@ -317,6 +399,13 @@ _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 # ---------------------------------------------------------------------------
 # Public API
 # ---------------------------------------------------------------------------
+
+def _band_bounds(fwd: Optional[int], bwd: Optional[int], T: int) -> Tuple[int, int]:
+    """Static (forward, backward) widths; None/unbounded → T."""
+    f = T if fwd is None else fwd
+    b = T if bwd is None else bwd
+    return f, b
+
 
 def banded_flash_attention(
     q: jax.Array,                  # (B, T, H, D)
