@@ -84,6 +84,26 @@ def co_smoothing_eval(
     batches = list(trainer.test_dataloader)  # (model_inputs, unused) pairs
     N_total = batches[0][0]["spikes"].shape[2]
     N = max_N or N_total
+    T = batches[0][0]["spikes"].shape[1]
+
+    # Condition matrix for aligned sessions (reference
+    # utils/eval_co_smoothing.py:49-89): choice/reward/block tiled over time.
+    behavior_set = None
+    var_name2idx = var_value2label = var_tasklist = None
+    if is_aligned:
+        rows = [trainer.test_dataset[i] for i in range(len(trainer.test_dataset))]
+        b_list = []
+        for var in ("choice", "reward", "block"):
+            v = np.stack([np.asarray(r[var]).reshape(-1)[0] for r in rows], axis=0)
+            b_list.append(np.tile(v[:, None], (1, T)))
+        behavior_set = np.stack(b_list, axis=-1)
+        var_name2idx = {"choice": [0], "reward": [1], "block": [2], "wheel": [3]}
+        var_value2label = {
+            "block": {(0.2,): "p(left)=0.2", (0.5,): "p(left)=0.5", (0.8,): "p(left)=0.8"},
+            "choice": {(-1.0,): "right", (1.0,): "left"},
+            "reward": {(0.0,): "no reward", (1.0,): "reward"},
+        }
+        var_tasklist = ["block", "choice", "reward"]
 
     def run_sweep(masker_cfgs: Dict[str, dict], overrides_for):
         """overrides_for(n_or_region) -> {idx: MaskerOverrides}; returns
@@ -125,17 +145,32 @@ def co_smoothing_eval(
         bps = bits_per_spike(rates[:, :, [n_i]], spikes_all[:, :, [n_i]])
         r2 = [0.0, 0.0]
         if make_r2_plots:
-            from llm_bci_tpu.eval.viz_neuron_fit import viz_single_cell_unaligned
+            if is_aligned:
+                from llm_bci_tpu.eval.viz_neuron_fit import viz_single_cell
 
-            r2 = [
-                viz_single_cell_unaligned(
-                    spikes_all[:, :, n_i], rates[:, :, n_i],
-                    neuron_idx=str(uuids_list[n_i])[:4],
-                    neuron_region=region_list[n_i],
-                    method=method, mode=mode, save_path=save_path,
-                ),
-                0.0,
-            ]
+                r2 = list(
+                    viz_single_cell(
+                        behavior_set, spikes_all[:, :, n_i], rates[:, :, n_i],
+                        var_name2idx, var_tasklist, var_value2label, [],
+                        subtract_psth=subtract_psth,
+                        aligned_tbins=onset_alignment,
+                        neuron_idx=str(uuids_list[n_i])[:4],
+                        neuron_region=region_list[n_i],
+                        method=method, mode=mode, save_path=save_path,
+                    )
+                )
+            else:
+                from llm_bci_tpu.eval.viz_neuron_fit import viz_single_cell_unaligned
+
+                r2 = [
+                    viz_single_cell_unaligned(
+                        spikes_all[:, :, n_i], rates[:, :, n_i],
+                        neuron_idx=str(uuids_list[n_i])[:4],
+                        neuron_region=region_list[n_i],
+                        method=method, mode=mode, save_path=save_path,
+                    ),
+                    0.0,
+                ]
         return bps, r2
 
     results: Dict[str, Dict[str, list]] = {}

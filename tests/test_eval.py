@@ -113,6 +113,34 @@ def _with_regions(ds, n_regions=3):
     return ds
 
 
+def test_co_smoothing_aligned_r2_plots(tmp_path):
+    """Aligned path: condition matrix (choice/reward/block) PSTH R² plots."""
+    from llm_bci_tpu.training import Trainer
+    from llm_bci_tpu.eval.co_smoothing import co_smoothing_eval
+    from test_trainer_ndt1 import base_config, synth_dataset
+
+    rng = np.random.default_rng(0)
+    ds = _with_regions(synth_dataset(T=20, N=12))
+    for rows in ds.values():
+        for row in rows:
+            row["choice"] = np.atleast_1d(float(rng.choice([-1.0, 1.0])))
+            row["reward"] = np.atleast_1d(float(rng.choice([0.0, 1.0])))
+            row["block"] = np.atleast_1d(float(rng.choice([0.2, 0.5, 0.8])))
+
+    cfg = base_config(tmp_path)
+    trainer = Trainer(cfg, dataset=ds)
+    res = co_smoothing_eval(
+        trainer, save_path=str(tmp_path / "figs"), method="mlm",
+        is_aligned=True, onset_alignment=[5], modes=["neuron"], max_N=1,
+        make_r2_plots=True,
+    )
+    assert len(res["neuron"]["bps"]) == 1
+    import os
+
+    figs = os.listdir(tmp_path / "figs")
+    assert any(f.endswith(".png") for f in figs)
+
+
 def test_behaviour_decoding_eval(tmp_path):
     from llm_bci_tpu.training import Trainer
     from llm_bci_tpu.eval.behaviour_decoding import behaviour_decoding_eval
