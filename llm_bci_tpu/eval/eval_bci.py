@@ -12,7 +12,16 @@ import numpy as np
 
 
 def edit_distance(source: Sequence, target: Sequence) -> int:
-    """Levenshtein distance between two token sequences (numpy DP rows)."""
+    """Levenshtein distance between two token sequences.
+
+    Uses the C kernel in :mod:`llm_bci_tpu.native` when it builds (the
+    equivalent of the reference's ``editdistance`` C++ ext), else a numpy
+    DP fallback."""
+    from llm_bci_tpu.native import edit_distance_native
+
+    native = edit_distance_native(source, target)
+    if native is not None:
+        return native
     m, n = len(source), len(target)
     if m == 0:
         return n
