@@ -380,6 +380,31 @@ class Trainer:
 
     # ----------------------------------------------------------- data → dev
 
+    def _prefetch(self, dataloader, depth: int = 2):
+        """Run collate + host→device transfer in a background thread so the
+        next batch overlaps the running step (the reference relies on torch
+        DataLoader workers + pin_memory for the same purpose)."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=depth)
+        stop = object()
+
+        def worker():
+            try:
+                for model_inputs, unused_inputs in dataloader:
+                    q.put((self._put_batch(model_inputs), model_inputs, unused_inputs))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
     def _put_batch(self, batch: Dict[str, Any]) -> Dict[str, Any]:
         """Transfer numpy arrays to device; batch-shard when divisible by the
         data axis, else replicate (partial final batches)."""
@@ -410,8 +435,7 @@ class Trainer:
         test_metrics = {name: [] for name in metric_fns}
 
         dataloader = self.train_dataloader if eval_train_set else self.test_dataloader
-        for model_inputs, unused_inputs in dataloader:
-            dev_batch = self._put_batch(model_inputs)
+        for dev_batch, model_inputs, unused_inputs in self._prefetch(dataloader):
             step_rng, self.rng = jax.random.split(self.rng)
             outputs = self._eval_step(self.state, dev_batch, step_rng)
             test_loss.append(outputs["loss"])
@@ -462,12 +486,13 @@ class Trainer:
 
         for epoch in range(1, int(config.training.num_epochs) + 1):
             self.print_v(f"Epoch {epoch}", verbosity=1)
-            for model_inputs, unused_inputs in self.train_dataloader:
+            for dev_batch, model_inputs, unused_inputs in self._prefetch(
+                self.train_dataloader
+            ):
                 if profile_cfg and global_step == profile_cfg.get("start_step"):
                     jax.profiler.start_trace(
                         profile_cfg.get("dir", "profiles"),
                     )
-                dev_batch = self._put_batch(model_inputs)
                 step_rng, self.rng = jax.random.split(self.rng)
                 self.state, outputs = self._train_step(self.state, dev_batch, step_rng)
                 window_samples += next(iter(dev_batch.values())).shape[0]
