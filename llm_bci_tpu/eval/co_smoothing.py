@@ -105,13 +105,17 @@ def co_smoothing_eval(
         }
         var_tasklist = ["block", "choice", "reward"]
 
-    def run_sweep(masker_cfgs: Dict[str, dict], overrides_for):
-        """overrides_for(n_or_region) -> {idx: MaskerOverrides}; returns
-        stacked (trials, T, N) rates + spikes per sweep point."""
+    def run_sweep(masker_cfgs: Dict[str, dict], overrides_for, sweep_batch: int = 8):
+        """overrides_for(n_or_region) -> {idx: MaskerOverrides}.
+
+        Returns (one, many): ``one(point)`` evaluates a single sweep point;
+        ``many(points)`` vmaps the model over up to ``sweep_batch`` stacked
+        override sets at once — the reference's N× sequential eval passes
+        (``utils/eval_co_smoothing.py:147-153``) become ⌈N/K⌉ batched passes
+        under one compilation (SURVEY.md §3.5 north star)."""
         eval_model = _eval_model_with_maskers(model, masker_cfgs)
 
-        @jax.jit
-        def eval_fn(params, batch, overrides):
+        def apply_fn(params, batch, overrides):
             out = eval_model.apply(
                 {"params": params},
                 **batch,
@@ -123,9 +127,11 @@ def co_smoothing_eval(
             )
             return out.preds
 
-        def one(point) -> np.ndarray:
-            overrides = overrides_for(point)
-            preds = []
+        eval_fn = jax.jit(apply_fn)
+        # vmap over the stacked overrides only; params/batch broadcast.
+        eval_fn_vmapped = jax.jit(jax.vmap(apply_fn, in_axes=(None, None, 0)))
+
+        def dev_batches():
             for model_inputs, _ in batches:
                 dev = {
                     k: v for k, v in model_inputs.items() if isinstance(v, np.ndarray)
@@ -133,11 +139,32 @@ def co_smoothing_eval(
                 if "neuron_regions_idx" not in dev:
                     B = dev["spikes"].shape[0]
                     dev["neuron_regions_idx"] = np.tile(regions_idx_row, (B, 1))
-                preds.append(np.asarray(eval_fn(params, dev, overrides)))
+                yield dev
+
+        def one(point) -> np.ndarray:
+            overrides = overrides_for(point)
+            preds = [np.asarray(eval_fn(params, dev, overrides)) for dev in dev_batches()]
             preds = np.concatenate(preds, axis=0)
             return np.exp(preds) if log_input else preds
 
-        return one
+        def many(points) -> np.ndarray:
+            """(K, trials, T, N) rates for up to sweep_batch points/call."""
+            out = []
+            for start in range(0, len(points), sweep_batch):
+                chunk = points[start : start + sweep_batch]
+                stacked = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs, axis=0),
+                    *[overrides_for(pt) for pt in chunk],
+                )
+                preds = [
+                    np.asarray(eval_fn_vmapped(params, dev, stacked))
+                    for dev in dev_batches()
+                ]
+                out.append(np.concatenate(preds, axis=1))   # (K, trials, T, N)
+            rates = np.concatenate(out, axis=0)
+            return np.exp(rates) if log_input else rates
+
+        return one, many
 
     spikes_all = np.concatenate([b[0]["spikes"] for b in batches], axis=0)
 
@@ -176,16 +203,16 @@ def co_smoothing_eval(
     results: Dict[str, Dict[str, list]] = {}
 
     if "neuron" in modes:
-        one = run_sweep(
+        _, many = run_sweep(
             {"main": dict(_COSMOOTH)},
             lambda n_i: {0: MaskerOverrides(
                 channels_onehot=jnp.asarray(np.arange(N_total) == n_i)
             )},
         )
+        rates_all = many(list(range(N)))                 # (N, trials, T, N_total)
         bps_list, r2_list = [], []
         for n_i in range(N):
-            rates = one(n_i)
-            bps, r2 = score(rates, n_i, "neuron")
+            bps, r2 = score(rates_all[n_i], n_i, "neuron")
             bps_list.append(bps)
             r2_list.append(r2)
         results["neuron"] = {"bps": bps_list, "r2": r2_list}
@@ -195,7 +222,7 @@ def co_smoothing_eval(
             "force_active": True, "mode": "intra-region", "ratio": 0.0,
             "zero_ratio": 1.0, "random_ratio": 1.0, "target_regions": [],
         }
-        one = run_sweep(
+        _, many = run_sweep(
             {"region": region_cfg, "main": dict(_COSMOOTH)},
             lambda n_i: {
                 0: MaskerOverrides(
@@ -208,10 +235,10 @@ def co_smoothing_eval(
                 ),
             },
         )
+        rates_all = many(list(range(N)))
         bps_list, r2_list = [], []
         for n_i in range(N):
-            rates = one(n_i)
-            bps, r2 = score(rates, n_i, "intra-region")
+            bps, r2 = score(rates_all[n_i], n_i, "intra-region")
             bps_list.append(bps)
             r2_list.append(r2)
         results["intra-region"] = {"bps": bps_list, "r2": r2_list}
@@ -221,7 +248,7 @@ def co_smoothing_eval(
             "force_active": True, "mode": "inter-region", "ratio": 1.0,
             "zero_ratio": 1.0, "random_ratio": 1.0, "mask_regions": [],
         }
-        one = run_sweep(
+        one, _ = run_sweep(
             {"region": region_cfg},
             lambda region: {
                 0: MaskerOverrides(
