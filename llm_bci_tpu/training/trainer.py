@@ -110,6 +110,11 @@ class Trainer:
         self.rng = jax.random.PRNGKey(int(self.config.seed))
 
         par = self.config.parallelism
+        # Multi-host (multi-slice / multi-process) runs: one controller per
+        # host, all devices join a single global mesh. The reference's
+        # equivalent is `accelerate launch` + torch.distributed rendezvous.
+        if par.get("multihost"):
+            jax.distributed.initialize()
         self.mesh = make_mesh(int(par.get("data", -1)), int(par.get("fsdp", 1)))
         self.is_main_process = jax.process_index() == 0
 

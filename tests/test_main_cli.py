@@ -1,0 +1,125 @@
+"""main.py CLI integration: config merge + dataset dispatch + surgery paths,
+run in-process with a pickle file dataset."""
+import argparse
+import os
+import pickle
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def write_file_dataset(path, T=14, N=10, n=16):
+    rng = np.random.default_rng(0)
+
+    def rows(k):
+        return [
+            {
+                "spikes": rng.poisson(1.0, size=(T, N)).astype(np.float32),
+                "choice": np.atleast_1d(float(rng.integers(0, 2))),
+                "neuron_regions": ["CA1" if i % 2 else "PO" for i in range(N)],
+                "neuron_depths": rng.uniform(0, 1, size=N).astype(np.float32),
+            }
+            for _ in range(k)
+        ]
+
+    pickle.dump({"train": rows(n), "test": rows(n // 2)}, open(path, "wb"))
+
+
+def run_main(config_file, kwargs):
+    import main as main_mod
+
+    args = argparse.Namespace(config_file=config_file, kwargs=kwargs)
+    return main_mod.main(args)
+
+
+def test_main_ndt1_mlm_file_dataset(tmp_path):
+    import yaml
+
+    write_file_dataset(str(tmp_path / "ds.pkl"))
+    cfg = {
+        "savestring": "cli_mlm",
+        "verbosity": 3,
+        "dirs": {"checkpoint_dir": str(tmp_path / "ckpt"), "log_dir": None},
+        "training": {"num_epochs": 1, "train_batch_size": 8, "test_batch_size": 8, "max_steps": 2},
+        "model": {
+            "model_class": "NDT1",
+            "encoder": {
+                "masker": {"neuron": {"active": True, "mode": "random", "ratio": 0.3}},
+                "embedder": {"n_channels": 1, "max_F": 14, "input_dim": 8, "stack": {"active": False}},
+                "transformer": {"n_layers": 1, "hidden_size": 8, "n_heads": 2, "inter_size": 8},
+            },
+        },
+        "data": {"dataset_class": "base", "data_load": "file",
+                 "data_dir": str(tmp_path), "data_file": "ds.pkl"},
+        "method": {
+            "model_kwargs": {"method_name": "mlm", "loss": "poisson_nll", "log_input": True},
+            "dataloader_kwargs": {"pad_dict": {
+                "spikes": {"dim": 0, "side": "left", "value": 0, "truncate": None, "min_length": None},
+                "spikes_mask": {"dim": 0, "side": "left", "value": 0, "truncate": None, "min_length": None},
+                "spikes_timestamp": {"dim": 0, "side": "left", "value": 0, "truncate": None, "min_length": None},
+            }},
+        },
+        "optimizer": {"lr": 1e-3, "scheduler": "cosine"},
+    }
+    cfg_path = str(tmp_path / "cfg.yaml")
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+    # n_channels surgery: main.py must overwrite the bogus value (1) with the
+    # dataset's channel count (reference main.py:230-231).
+    trainer = run_main(cfg_path, {"seed": "7"})
+    assert trainer.model.config["encoder"]["embedder"]["n_channels"] == 10
+    assert int(trainer.config.seed) == 7                 # dotted kwargs merged
+    assert int(np.asarray(trainer.state.step)) == 2
+
+
+def test_main_itransformer_stat_behaviour(tmp_path):
+    """Exercises the region-vocab surgery, label remap, accuracy metric fn,
+    and the iTransformer context-length pad pinning (reference main.py:40-64,
+    192-229)."""
+    import yaml
+
+    write_file_dataset(str(tmp_path / "ds.pkl"))
+    cfg = {
+        "savestring": "cli_it",
+        "verbosity": 3,
+        "dirs": {"checkpoint_dir": str(tmp_path / "ckpt"), "log_dir": None},
+        "training": {"num_epochs": 1, "train_batch_size": 8, "test_batch_size": 8, "max_steps": 2,
+                     "eval_every": 2},
+        "model": {
+            "model_class": "iTransformer",
+            "masker": {"main": {"force_active": True, "mode": "neuron", "ratio": 0.2}},
+            "encoder": {
+                "embedder": {"mode": "mlp", "max_n_bins": 1, "dropout": 0.1},
+                "hidden_size": 16, "n_heads": 2, "n_layers": 1,
+                "max_n_channels": 16, "embed_region": True, "embed_depth": False,
+                "dropout": 0.1,
+            },
+            "decoder": {"mlp_decoder": False, "use_cls": True},
+        },
+        "data": {"dataset_class": "decoding", "data_load": "file",
+                 "data_dir": str(tmp_path), "data_file": "ds.pkl"},
+        "method": {
+            "model_kwargs": {"method_name": "stat_behaviour", "loss": "xent"},
+            "dataset_kwargs": {"targets_name": "choice"},
+            "dataloader_kwargs": {"pad_dict": {
+                "spikes": {"dim": 0, "side": "left", "value": 0, "truncate": None, "min_length": None},
+                "spikes_mask": {"dim": 0, "side": "left", "value": 0, "truncate": None, "min_length": None},
+                "spikes_timestamp": {"dim": 0, "side": "left", "value": 0, "truncate": None, "min_length": None},
+                "spikes_spacestamp": {"dim": 0, "side": "left", "value": 0, "truncate": None, "min_length": None},
+            }},
+        },
+        "optimizer": {"lr": 1e-3, "scheduler": "cosine"},
+    }
+    cfg_path = str(tmp_path / "cfg.yaml")
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+    trainer = run_main(cfg_path, None)
+    # region vocabulary collected from the dataset
+    assert sorted(trainer.model.config["encoder"]["regions"]) == ["CA1", "PO"]
+    # max_n_bins pinned to the dataset context length
+    assert trainer.model.config["encoder"]["embedder"]["max_n_bins"] == 14
+    # label remap produced n_labels and the accuracy metric ran
+    assert trainer.model.n_labels == 2
+    loss, metrics = trainer.evaluate()
+    assert "accuracy" in metrics and 0.0 <= metrics["accuracy"] <= 1.0
