@@ -182,6 +182,10 @@ class NeuralEmbeddingLayer(nn.Module):
         day_idx: Optional[jax.Array],
         training: bool,
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        if (self.adapt or self.day_token) and day_idx is None:
+            raise ValueError("adapt/day_token require a day_idx batch column")
+        if self.block_token and block_idx is None:
+            raise ValueError("block_token requires a block_idx batch column")
         if self.adapt:
             # Stacked per-day weights; one einsum instead of a host loop over
             # per-day nn.Linear (reference models/ndt1.py:123-130,170).
@@ -611,10 +615,15 @@ class NeuralEncoder(nn.Module):
         x = self.out_norm(x)
 
         # Drop day/block prefix tokens (reference models/ndt1.py:444-448).
+        # Deviation: the reference trims only x and returns the token-extended
+        # spikes_mask, which breaks the mlm loss broadcast whenever prefix
+        # tokens are on; we trim the mask symmetrically.
         if self.embedder.day_token:
             x = x[:, 1:, :]
+            spikes_mask = spikes_mask[:, 1:]
         if self.embedder.block_token:
             x = x[:, 1:, :]
+            spikes_mask = spikes_mask[:, 1:]
 
         return (
             self.out_proj(x, training).astype(jnp.float32),
