@@ -304,7 +304,14 @@ class Trainer:
         # optimizer state or updates.
         if hasattr(self.model, "trainable_mask"):
             mask = self.model.trainable_mask(params_shape)
-            self.tx = optax.masked(self.tx, mask)
+            # NOT optax.masked: masked passes frozen-leaf gradients through
+            # untouched as updates. Frozen leaves must get zero updates.
+            labels = jax.tree_util.tree_map(
+                lambda m: "train" if m else "freeze", mask
+            )
+            self.tx = optax.multi_transform(
+                {"train": self.tx, "freeze": optax.set_to_zero()}, labels
+            )
             n_train = sum(
                 l.size
                 for l, m in zip(

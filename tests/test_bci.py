@@ -126,19 +126,36 @@ def bci_config(tmp_path):
 
 
 def test_bci_trainer_end_to_end(tmp_path):
+    import jax
+
     from llm_bci_tpu.training import Trainer
 
     cfg = bci_config(tmp_path)
     trainer = Trainer(cfg, dataset=synth_bci_dataset())
+    before = jax.device_get(trainer.state.params)
     loss0, _ = trainer.evaluate()
     trainer.train()
     loss1, _ = trainer.evaluate()
     assert np.isfinite(loss0) and np.isfinite(loss1)
 
-    # LoRA freeze: base llm kernels unchanged, lora + encoder params changed.
-    # (trainable_mask wired through the optimizer)
-    params = trainer.state.params
-    assert "llm" in params and "ndt1_encoder" in params
+    # LoRA freeze semantics: frozen base-LLM leaves bit-identical after
+    # training; trainable leaves (lora_*, encoder, projector) moved.
+    after = jax.device_get(trainer.state.params)
+    mask = trainer.model.trainable_mask(before)
+    flat_b = jax.tree_util.tree_flatten_with_path(before)[0]
+    flat_a = dict(jax.tree_util.tree_flatten_with_path(after)[0])
+    flat_m = dict(jax.tree_util.tree_flatten_with_path(mask)[0])
+    n_frozen = n_moved = 0
+    for path, b in flat_b:
+        a = flat_a[path]
+        if flat_m[path]:
+            n_moved += not np.allclose(b, a)
+        else:
+            np.testing.assert_array_equal(
+                b, a, err_msg=f"frozen param moved: {path}"
+            )
+            n_frozen += 1
+    assert n_frozen > 0 and n_moved > 0
 
 
 def test_bci_generate(tmp_path):
