@@ -109,6 +109,13 @@ class Trainer:
 
         self.rng = jax.random.PRNGKey(int(self.config.seed))
 
+        # Persistent XLA compilation cache: repeat runs skip the (slow) TPU
+        # compiles entirely. Opt-in via dirs.compilation_cache_dir.
+        cache_dir = self.config.dirs.get("compilation_cache_dir")
+        if cache_dir:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
         par = self.config.parallelism
         # Multi-host (multi-slice / multi-process) runs: one controller per
         # host, all devices join a single global mesh. The reference's
@@ -401,11 +408,14 @@ class Trainer:
 
         q: "queue.Queue" = queue.Queue(maxsize=depth)
         stop = object()
+        error: list = []
 
         def worker():
             try:
                 for model_inputs, unused_inputs in dataloader:
                     q.put((self._put_batch(model_inputs), model_inputs, unused_inputs))
+            except BaseException as e:  # re-raised on the main thread
+                error.append(e)
             finally:
                 q.put(stop)
 
@@ -414,6 +424,8 @@ class Trainer:
         while True:
             item = q.get()
             if item is stop:
+                if error:
+                    raise error[0]
                 break
             yield item
 
