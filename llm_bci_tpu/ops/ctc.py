@@ -41,6 +41,7 @@ def ctc_loss(
     target_lengths: jax.Array,   # (B,) valid labels per example
     blank_id: int = 0,
     zero_infinity: bool = True,
+    impl: str = "auto",          # auto | xla | pallas
 ) -> jax.Array:                  # (B,) per-example -log p(targets | log_probs)
     """CTC forward (alpha) recursion in log space.
 
@@ -50,6 +51,14 @@ def ctc_loss(
     stay, advance-by-1, and advance-by-2 (the skip is illegal into a blank or
     into a label equal to the one two slots back).
     """
+    if impl == "pallas" or (impl == "auto" and jax.default_backend() == "tpu"):
+        from llm_bci_tpu.ops.ctc_pallas import ctc_loss_pallas
+
+        return ctc_loss_pallas(
+            log_probs, targets, input_lengths, target_lengths,
+            blank_id, zero_infinity,
+        )
+
     B, T, V = log_probs.shape
     S = targets.shape[1]
     L = 2 * S + 1
