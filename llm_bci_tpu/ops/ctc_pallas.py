@@ -37,31 +37,27 @@ def set_interpret_mode(value: bool) -> None:
     _INTERPRET = value
 
 
+# Shifts are circular rolls WITHOUT lane masking: the lattice always has
+# >= 2 trailing pad slots (L = 2S+1 odd < Lp multiple of 128) whose
+# emissions are NEG_INF, so wrapped-around values land on permanently-dead
+# slots and can never propagate into valid ones. The kernels are never
+# autodiffed (gradients come analytically from the occupancy), so the
+# lse needs only a clamp — no NaN-through-where guards.
+
+
 def _shift_right(x: jax.Array, k: int) -> jax.Array:
-    """Shift slots up by k along the lane axis of (Bb, L): value at s comes
-    from s-k; vacated slots = NEG_INF."""
-    rolled = pltpu.roll(x, k, 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    return jnp.where(lane < k, NEG_INF, rolled)
+    return pltpu.roll(x, k, 1)
 
 
 def _shift_left(x: jax.Array, k: int) -> jax.Array:
-    L = x.shape[1]
-    rolled = pltpu.roll(x, L - k, 1)  # roll requires non-negative shifts
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    return jnp.where(lane >= L - k, NEG_INF, rolled)
+    return pltpu.roll(x, x.shape[1] - k, 1)  # roll requires non-negative
 
 
 def _lse3(a, b, c):
-    m = jnp.maximum(jnp.maximum(a, b), c)
-    dead = m <= NEG_INF
-    m_safe = jnp.where(dead, 0.0, m)
-    out = m_safe + jnp.log(
-        jnp.exp(jnp.where(dead, 0.0, a - m_safe))
-        + jnp.exp(jnp.where(dead, 0.0, b - m_safe))
-        + jnp.exp(jnp.where(dead, 0.0, c - m_safe))
+    m = jnp.maximum(jnp.maximum(jnp.maximum(a, b), c), NEG_INF)
+    return m + jnp.log(
+        jnp.exp(a - m) + jnp.exp(b - m) + jnp.exp(c - m)
     )
-    return jnp.where(dead, NEG_INF, out)
 
 
 def _alpha_step(alpha, emit_t, skip_gate):
@@ -122,7 +118,6 @@ def _bwd_kernel(
         # occupancy at t uses beta_t; beta for padded frames = terminal gate.
         alpha_t = alpha_scratch[:, t, :]
         occ = jnp.exp(jnp.minimum(alpha_t + beta - logp, 0.0))
-        occ = jnp.where(alpha_t + beta <= NEG_INF, 0.0, occ)
         occ = jnp.where(t < lengths, occ, 0.0)
         occ_ref[:, t, :] = occ
         # step to beta_{t-1}: uses emissions at t
