@@ -21,6 +21,11 @@ valid key produce 0 (downstream losses mask them, so the reference's
 
 Layout: (B, T, H, D) public API; internally (B*H, T, D) padded to block
 multiples (T) and 128 lanes (D).
+
+Numerics: matmuls run at the default TPU precision (bf16 passes with fp32
+accumulation), like XLA's own SDPA — compiled outputs agree with a dense
+fp32 reference to ~1e-2 relative (bf16 rounding), and to 2e-5 in interpret
+mode (tests/test_flash_attention.py).
 """
 from __future__ import annotations
 
