@@ -71,15 +71,25 @@ def main(args):
             )
         }
         n_beams = int(kw.get("n_beams", 1))
-        tokens = model.generate(
+        # Reference gen config (eval_phonemes.py:53-71): diverse beam search
+        # with one group per beam, diversity_penalty 1.2, all beams returned
+        # so the offline best-of-k analysis is meaningful.
+        result = model.generate(
             input_ids=jnp.asarray(prompt_ids),
             attention_mask=jnp.ones_like(jnp.asarray(prompt_ids)),
             **gen_inputs,
             max_new_tokens=20,
             num_beams=n_beams,
+            num_return_sequences=n_beams,
+            num_beam_groups=n_beams if n_beams > 1 else 1,
+            diversity_penalty=1.2 if n_beams > 1 else 0.0,
             pad_token_id=tokenizer.unk_token_id or 0,
             eos_token_id=tokenizer.eos_token_id or 2,
         )
+        if n_beams > 1:
+            tokens = result.sequences[0]          # (k, T_new), best first
+        else:
+            tokens = result                        # (1, T_new)
         pred_sentence = tokenizer.decode(
             np.asarray(tokens)[0], skip_special_tokens=True
         ).strip()

@@ -266,12 +266,31 @@ class BCI(nn.Module):
         pad_token_id: int = 0,
         eos_token_id: int = 2,
         length_penalty: float = 1.0,
-    ) -> jax.Array:
-        """Greedy (num_beams=1) or beam-search decode from the spliced
-        prompt; returns generated token ids (B, max_new_tokens) — HF
-        ``generate(inputs_embeds=...)`` semantics of returning only the new
-        tokens (reference ``models/bci.py:224-246``)."""
-        from llm_bci_tpu.models.generation import beam_search, greedy_decode
+        early_stopping: bool = False,
+        num_return_sequences: int = 1,
+        num_beam_groups: int = 1,
+        diversity_penalty: float = 0.0,
+    ):
+        """Greedy (num_beams=1), beam-search, or diverse-beam-search decode
+        from the spliced prompt — HF ``generate(inputs_embeds=...)``
+        semantics of returning only the new tokens (reference
+        ``models/bci.py:224-246``).
+
+        Returns (B, max_new_tokens) ids when ``num_return_sequences == 1``;
+        with ``num_return_sequences > 1`` returns a
+        :class:`~llm_bci_tpu.models.generation.BeamResult` with all
+        hypotheses sorted best-first — the surface ``eval_phonemes`` needs
+        for best-of-k WER (reference ``eval_phonemes.py:53-71,208-240``).
+        ``num_beam_groups == num_beams > 1`` selects diverse beam search
+        (the reference's WER-eval config)."""
+        from llm_bci_tpu.models.generation import (
+            beam_search,
+            diverse_beam_search,
+            greedy_decode,
+        )
+
+        if num_return_sequences > num_beams:
+            raise ValueError("num_return_sequences must be <= num_beams")
 
         inputs_embeds, attn_mask, _ = self.prepare_embeds(
             input_ids, attention_mask, input_split, spikes, spikes_mask,
@@ -296,10 +315,31 @@ class BCI(nn.Module):
                 self.llm.init_cache(B, P + max_new_tokens),
                 max_new_tokens, eos_token_id, pad_token_id,
             )
-        return beam_search(
-            decode_step, embed_tokens, inputs_embeds, attn_mask,
-            self.llm.init_cache(B * num_beams, P + max_new_tokens),
-            max_new_tokens, num_beams, eos_token_id, pad_token_id, length_penalty,
+        cache = self.llm.init_cache(B * num_beams, P + max_new_tokens)
+        if num_beam_groups > 1:
+            if num_beam_groups != num_beams:
+                raise ValueError(
+                    "only num_beam_groups == num_beams (group size 1) is "
+                    "supported, matching the reference eval config"
+                )
+            result = diverse_beam_search(
+                decode_step, embed_tokens, inputs_embeds, attn_mask, cache,
+                max_new_tokens, num_beams, eos_token_id, pad_token_id,
+                length_penalty, diversity_penalty,
+            )
+        else:
+            result = beam_search(
+                decode_step, embed_tokens, inputs_embeds, attn_mask, cache,
+                max_new_tokens, num_beams, eos_token_id, pad_token_id,
+                length_penalty, early_stopping,
+            )
+        if num_return_sequences == 1:
+            return result.sequences[:, 0]
+        from llm_bci_tpu.models.generation import BeamResult
+
+        return BeamResult(
+            sequences=result.sequences[:, :num_return_sequences],
+            scores=result.scores[:, :num_return_sequences],
         )
 
     # ---------------------------------------------------------- checkpoints

@@ -160,7 +160,7 @@ def test_beam_search_beats_or_matches_greedy_logprob(tiny_llm):
         decode_step, embed_tokens, embeds, attn,
         model.apply({"params": params}, B * K, P + NEW, method="init_cache"),
         NEW, K, eos_token_id=2, pad_token_id=0,
-    )
+    ).sequences[:, 0]
     g, b = np.asarray(greedy)[0], np.asarray(beam)[0]
     if 2 not in g and 2 not in b and 0 not in g and 0 not in b:
         assert seq_logprob(b) >= seq_logprob(g) - 1e-4
