@@ -338,15 +338,36 @@ class Trainer:
             warm = self.model.warm_start_params(jax.device_get(params))
             params = jax.device_put(warm, self.param_shardings)
 
+        # Optimizer-state shardings must be explicit: with out_shardings=None
+        # GSPMD replicates tx.init outputs, silently dropping the ZeRO-1/2
+        # half of the FSDP story. Adam's mu/nu have param shapes, so the same
+        # size-gated per-leaf rule reproduces the param placement; scalars
+        # (e.g. step counts) stay replicated.
+        from llm_bci_tpu.parallel.mesh import fsdp_param_spec
+        from jax.sharding import NamedSharding
+
+        opt_shape = jax.eval_shape(self.tx.init, params_shape)
+        self.opt_shardings = jax.tree_util.tree_map(
+            lambda l: NamedSharding(
+                self.mesh, fsdp_param_spec((), l, self.mesh, min_size)
+            ),
+            opt_shape,
+        )
         opt_state = jax.jit(
             self.tx.init,
-            out_shardings=None,
+            out_shardings=self.opt_shardings,
         )(params)
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=opt_state,
             extra_vars=extra_vars,
+        )
+        # Concrete shardings of the live extra_vars — resume re-places
+        # restored host arrays with exactly these (opt_shardings recorded
+        # above at init).
+        self.extra_var_shardings = jax.tree_util.tree_map(
+            lambda x: x.sharding, extra_vars
         )
 
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
@@ -670,6 +691,7 @@ class Trainer:
         self.state = TrainState(
             step=jnp.asarray(state.step),
             params=jax.device_put(state.params, self.param_shardings),
-            opt_state=state.opt_state,
+            opt_state=jax.device_put(state.opt_state, self.opt_shardings),
+            extra_vars=jax.device_put(state.extra_vars, self.extra_var_shardings),
         )
         return step

@@ -129,3 +129,36 @@ def test_patchtst_ctc_trainer(tmp_path):
     trainer.train()
     loss, _ = trainer.evaluate()
     assert np.isfinite(loss) and loss > 0
+
+
+def test_patchtst_resume_restores_batch_stats(tmp_path):
+    """resume_from must restore extra_vars (BatchNorm running stats), not
+    silently reset them to fresh-init values (VERDICT r1 weak #1)."""
+    from llm_bci_tpu.training import Trainer
+
+    cfg = pt_config(tmp_path, "mlm", loss="poisson_nll", log_input=True)
+    cfg["training"]["save_every"] = 2
+    trainer = Trainer(cfg, dataset=synth())
+    trainer.train()
+    trained_stats = jax.tree_util.tree_map(
+        np.asarray, jax.device_get(trainer.state.extra_vars)
+    )
+
+    trainer2 = Trainer(cfg, dataset=synth())
+    fresh_stats = jax.tree_util.tree_map(
+        np.asarray, jax.device_get(trainer2.state.extra_vars)
+    )
+    step = trainer2.resume_from()
+    assert step == 2
+    resumed_stats = jax.tree_util.tree_map(
+        np.asarray, jax.device_get(trainer2.state.extra_vars)
+    )
+
+    trained_leaves = jax.tree_util.tree_leaves(trained_stats)
+    resumed_leaves = jax.tree_util.tree_leaves(resumed_stats)
+    fresh_leaves = jax.tree_util.tree_leaves(fresh_stats)
+    assert any(
+        not np.allclose(t, f) for t, f in zip(trained_leaves, fresh_leaves)
+    ), "training must have moved the running stats"
+    for t, r in zip(trained_leaves, resumed_leaves):
+        np.testing.assert_allclose(t, r)

