@@ -17,9 +17,10 @@ mlm / autoregressive SSL and CTC phoneme decoding), redesigned for JAX/XLA:
 * stochastic pieces (white/offset noise ``models/ndt1.py:99-104``, maskers,
   dropout) draw from named flax RNG streams — deterministic eval by default.
 
-Deliberate deviation: attention-probability dropout (``models/ndt1.py:289``)
-is folded into output dropout so the attention kernel stays a single fused
-op; recorded per SURVEY.md §7 "hard parts (d)".
+Attention-probability dropout (``models/ndt1.py:289``) is applied on the
+XLA path with torch SDPA semantics. Deliberate deviation: the *flash*
+(Pallas) path folds it into output dropout so the kernel stays a single
+fused op; recorded per SURVEY.md §7 "hard parts (d)".
 """
 from __future__ import annotations
 
@@ -338,7 +339,16 @@ class NeuralAttention(nn.Module):
                 context_backward=self.context_backward,
             )
         else:
-            out = dot_product_attention(q, k, v, mask=attn_mask)
+            # Attention-probability dropout with torch SDPA semantics
+            # (reference models/ndt1.py:289: dropout_p = dropout in training).
+            # The flash path keeps the documented fold-into-output deviation.
+            out = dot_product_attention(
+                q, k, v, mask=attn_mask,
+                dropout_rate=self.dropout if training else 0.0,
+                dropout_rng=self.make_rng("dropout")
+                if training and self.dropout > 0.0
+                else None,
+            )
         out = out.reshape(B, T, self.hidden_size)
         out = nn.Dropout(self.dropout, deterministic=not training)(out)
         return dense("out_proj", fixup)(out)

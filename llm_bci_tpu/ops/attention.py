@@ -37,8 +37,31 @@ def dot_product_attention(
     v: jax.Array,                    # (B, S, H, D)
     mask: Optional[jax.Array] = None,  # (B, 1|H, T, S) bool; True = attend
     is_causal: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jax.Array:                      # (B, T, H, D)
-    """Scaled dot-product attention over (batch, time, heads, head_dim)."""
+    """Scaled dot-product attention over (batch, time, heads, head_dim).
+
+    ``dropout_rate`` + ``dropout_rng`` enable attention-probability dropout
+    with torch SDPA semantics (``probs * bernoulli(keep) / keep``, reference
+    ``models/ndt1.py:289``); pass a rate of 0 (or no rng) at eval.
+    """
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        # Explicit probs path: XLA's fused entry point has no dropout hook.
+        d = q.shape[-1]
+        logits = jnp.einsum("bthd,bshd->bhts", q, k) / jnp.sqrt(
+            jnp.asarray(d, q.dtype)
+        )
+        if is_causal:
+            T, S = logits.shape[-2:]
+            causal = jnp.tril(jnp.ones((T, S), bool))
+            mask = causal if mask is None else (mask & causal)
+        if mask is not None:
+            logits = jnp.where(mask, logits, jnp.asarray(-1e30, logits.dtype))
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = probs * keep.astype(probs.dtype) / (1.0 - dropout_rate)
+        return jnp.einsum("bhts,bshd->bthd", probs, v)
     if _ATTENTION_IMPL == "pallas":
         from llm_bci_tpu.ops.flash_attention import flash_attention_supported, flash_attention
 

@@ -589,6 +589,9 @@ class Trainer:
                     and global_step % config.training.eval_every == 0
                 ):
                     self.print_v(f"Evaluation at step {global_step}", verbosity=1)
+                    # Snapshot the training-window clock BEFORE the eval pass
+                    # so the samples/s counter measures training only.
+                    dt = time.perf_counter() - window_t0
                     test_avg_loss, test_avg_metrics = self.evaluate(self.eval_metric_fns)
                     total_examples = float(
                         np.sum([np.asarray(x) for x in train_examples])
@@ -603,13 +606,12 @@ class Trainer:
                         k: (sum(v) / len(v) if v else 0.0)
                         for k, v in train_metrics.items()
                     }
-                    dt = time.perf_counter() - window_t0
                     throughput = window_samples / dt if dt > 0 else 0.0
                     self.print_v(
                         f"savestring={self.savestring} global_step={global_step}:\n"
                         f"train_avg_loss={train_avg_loss} train_avg_metrics={train_avg_metrics}\n"
                         f"test_avg_loss={test_avg_loss} test_avg_metrics={test_avg_metrics}\n"
-                        f"throughput={throughput:.1f} samples/s (incl. eval window)",
+                        f"throughput={throughput:.1f} samples/s (train steps only)",
                         verbosity=1,
                     )
                     if self.writer is not None:

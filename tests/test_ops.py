@@ -160,3 +160,40 @@ def test_context_mask_matches_reference(fwd, bwd):
     ours = create_context_mask(fwd, bwd, 12)
     ref = _torch_context_mask(fwd, bwd, 12)
     np.testing.assert_array_equal(ours, ref)
+
+
+def test_attention_prob_dropout_semantics():
+    """Attention-prob dropout (reference models/ndt1.py:289, torch SDPA
+    semantics): rate 0 or no rng -> identical to the fused path; active
+    dropout perturbs outputs, differs per rng, and keeps expectation approx
+    unchanged (inverted-scale Bernoulli)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from llm_bci_tpu.ops.attention import dot_product_attention
+
+    rng = np.random.default_rng(0)
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(2, 8, 2, 4)).astype(np.float32))
+        for _ in range(3)
+    )
+    base = dot_product_attention(q, k, v)
+    none = dot_product_attention(q, k, v, dropout_rate=0.5, dropout_rng=None)
+    np.testing.assert_allclose(np.asarray(none), np.asarray(base), atol=1e-6)
+
+    k1, k2 = jax.random.PRNGKey(1), jax.random.PRNGKey(2)
+    d1 = dot_product_attention(q, k, v, dropout_rate=0.5, dropout_rng=k1)
+    d2 = dot_product_attention(q, k, v, dropout_rate=0.5, dropout_rng=k2)
+    assert not np.allclose(np.asarray(d1), np.asarray(base))
+    assert not np.allclose(np.asarray(d1), np.asarray(d2))
+
+    # inverted scaling: mean over many keys approaches the clean output
+    outs = [
+        np.asarray(
+            dot_product_attention(q, k, v, dropout_rate=0.3,
+                                  dropout_rng=jax.random.PRNGKey(i))
+        )
+        for i in range(200)
+    ]
+    np.testing.assert_allclose(np.mean(outs, axis=0), np.asarray(base), atol=0.1)
