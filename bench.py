@@ -1,15 +1,26 @@
 """Benchmark: flagship training throughput on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "mfu",
+"trainer_samples_per_sec", "trainer_vs_raw"}.
 
 Default workload = the reference's headline recipe
 (configs/trainer_ctc_ndt1.yaml: 5 layers / 1024 hidden, stack 32 stride 4,
 batch 64) on synthetic speechbci-shaped data (T=512 bins, 256 channels,
-41-token phoneme vocab). ``--workload bci`` instead measures the
-end-to-end BCI fine-tune step (NDT1 trunk + projector + LoRA Llama-ish
-decoder) at a single-chip-feasible size. The reference publishes no
-absolute numbers (BASELINE.md); ``vs_baseline`` compares against
-BENCH_BASELINE.json when present.
+41-token phoneme vocab), measured two ways:
+
+* raw jitted train step on a pre-staged device batch (the headline number,
+  comparable to BENCH_BASELINE.json), plus achieved-TFLOPs/**MFU** against
+  the chip's bf16 peak;
+* the full ``Trainer.train()`` path — host collate, prefetch thread, the
+  per-step CER metric-fn host round-trip — reported as
+  ``trainer_samples_per_sec`` and as a fraction of the raw number
+  (``trainer_vs_raw``), so prefetch/dataloader regressions are visible in
+  the driver-recorded JSON.
+
+``--workload bci`` instead measures the end-to-end BCI fine-tune step
+(NDT1 trunk + projector + LoRA Llama-ish decoder) at a single-chip-feasible
+size. The reference publishes no absolute numbers (BASELINE.md);
+``vs_baseline`` compares against BENCH_BASELINE.json when present.
 """
 from __future__ import annotations
 
@@ -22,18 +33,23 @@ import time
 import numpy as np
 
 B, T, N, VOCAB = 64, 512, 256, 41
+S = 64
 WARMUP, ITERS = 3, 10
 
+# bf16 peak matmul throughput per chip; MFU is reported against this even
+# for fp32 runs so numbers stay comparable across BENCH_DTYPE settings.
+PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,   # v5e
+    "TPU v5": 459e12,        # v5p
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,   # v6e / Trillium
+}
 
-def main():
-    import jax
-    import jax.numpy as jnp
-    import optax
 
-    from llm_bci_tpu.config import update_config, resolve_path
-    from llm_bci_tpu.models.ndt1 import NDT1
+def _flagship_cfg():
+    from llm_bci_tpu.config import resolve_path, update_config
 
-    cfg = update_config(
+    return update_config(
         resolve_path("configs/ndt1.yaml"),
         {
             "encoder": {
@@ -47,14 +63,10 @@ def main():
             }
         },
     )
-    model = NDT1.from_config(
-        cfg, method_name="ctc", vocab_size=VOCAB, blank_id=0, zero_infinity=True,
-        compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
-    )
 
-    rng = np.random.default_rng(0)
-    S = 64
-    batch = {
+
+def _flagship_batch(rng):
+    return {
         "spikes": rng.poisson(1.0, size=(B, T, N)).astype(np.float32),
         "spikes_mask": np.ones((B, T), np.int32),
         "spikes_timestamp": np.tile(np.arange(T, dtype=np.int32), (B, 1)),
@@ -62,6 +74,189 @@ def main():
         "targets": rng.integers(1, VOCAB, size=(B, S)).astype(np.int32),
         "targets_lengths": rng.integers(30, S, size=(B,)).astype(np.int32),
     }
+
+
+def _analytic_train_flops(cfg) -> float:
+    """Fwd matmul FLOPs of one flagship train batch x3 (fwd + bwd ~= 2x fwd).
+    Fallback when the compiled cost analysis is unavailable on the relay."""
+    enc = cfg["encoder"]
+    emb, tr = enc["embedder"], enc["transformer"]
+    H, inter, L_layers = tr["hidden_size"], tr["inter_size"], tr["n_layers"]
+    Tp = (T - emb["stack"]["size"]) // emb["stack"]["stride"] + 1
+    f = 0.0
+    f += 2 * B * T * N * emb["input_dim"]                       # embed_spikes
+    f += 2 * B * Tp * emb["stack"]["size"] * emb["input_dim"] * H  # stack proj
+    per_layer = (
+        4 * 2 * B * Tp * H * H                                  # q,k,v,o
+        + 2 * 2 * B * Tp * Tp * H                               # scores + av
+        + 2 * 2 * B * Tp * H * inter                            # mlp up+down
+    )
+    f += L_layers * per_layer
+    f += 2 * B * Tp * H * VOCAB                                 # decoder
+    return 3.0 * f
+
+
+def _compiled_flops(fn, *args) -> float | None:
+    try:
+        cost = fn.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
+
+
+def _peak_flops() -> float:
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    for key, peak in PEAK_FLOPS.items():
+        if kind.startswith(key):
+            return peak
+    return 197e12
+
+
+def _synth_speechbci_rows(n_rows, seed=0):
+    """Synthetic speechbci-shaped rows incl. the unused string columns the
+    metric-fn protocol routes to host (reference pad_collate_fn behavior)."""
+    rng = np.random.default_rng(seed)
+    vocab_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "vocab.json")
+    vocab = json.load(open(vocab_path))
+    rows = []
+    for i in range(n_rows):
+        n_ph = int(rng.integers(30, S))
+        ids = rng.integers(1, VOCAB, size=(n_ph,)).astype(np.int64)
+        rows.append(
+            {
+                "spikes": rng.poisson(1.0, size=(T, N)).astype(np.float32),
+                "targets": ids,
+                "phonemes_str": " ".join(vocab[j] for j in ids),
+                "sentence": "synthetic sentence %d" % i,
+            }
+        )
+    return rows
+
+
+def _trainer_cer_metric(vocab, blank_id=0):
+    """CER metric fn (greedy CTC collapse + word_error_count), mirroring
+    main.py's make_cer — includes the per-step host round-trip the raw-step
+    bench can't see."""
+    from llm_bci_tpu.eval.eval_bci import format_ctc, word_error_count
+
+    def cer(model, model_inputs, unused_inputs, outputs, **kwargs):
+        preds = np.asarray(outputs["preds"]).argmax(-1)
+        errors, words = 0, 0
+        for i in range(preds.shape[0]):
+            pred_str = " ".join(format_ctc(preds[i], vocab, blank_id))
+            e, w = word_error_count(pred_str, unused_inputs["phonemes_str"][i])
+            errors += e
+            words += w
+        return errors / max(words, 1)
+
+    return cer
+
+
+def bench_trainer_path(steps: int = 30):
+    """samples/s through the real Trainer.train() loop, compiled-warm, with
+    ``cache_device_batches`` so the dataset is HBM-resident (the deployment
+    configuration for speechbci-scale data; it also keeps the axon relay's
+    ~35 MB/s host tunnel out of the measurement).
+
+    Returns (metric_free_sps, with_cer_sps): the first isolates framework
+    overhead (scheduler, rng, state plumbing, python loop) and should track
+    the raw-step number; the second registers the reference's per-train-step
+    CER metric (main.py:74), whose preds device→host round-trip is
+    reference-faithful but relay-dominated on this dev setup."""
+    from llm_bci_tpu.config import DictConfig
+    from llm_bci_tpu.training.trainer import Trainer
+
+    pad = lambda: {"dim": 0, "side": "right", "value": 0, "truncate": None, "min_length": None}
+    vocab = json.load(
+        open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "vocab.json"))
+    )
+    enc = _flagship_cfg().get_dict()["encoder"]
+    rows = _synth_speechbci_rows(4 * B)
+    cfg = DictConfig(
+        {
+            "savestring": "bench_trainer",
+            "verbosity": 3,
+            "seed": 0,
+            "dirs": {"checkpoint_dir": "/tmp/bench_trainer_ckpt", "log_dir": None},
+            "training": {
+                "num_epochs": 1000,
+                "train_batch_size": B,
+                "test_batch_size": B,
+                "max_steps": steps,
+                "eval_every": None,
+                "save_every": None,
+                "drop_last_train_dataloader": True,
+                "cache_device_batches": True,
+            },
+            "model": {"model_class": "NDT1", "encoder": enc},
+            "data": {"dataset_class": "decoding"},
+            "method": {
+                "model_kwargs": {
+                    "method_name": "ctc", "vocab_size": VOCAB, "blank_id": 0,
+                    "zero_infinity": True,
+                    "compute_dtype": os.environ.get("BENCH_DTYPE", "bfloat16"),
+                },
+                "dataset_kwargs": {"targets_name": "targets"},
+                "dataloader_kwargs": {
+                    "pad_dict": {
+                        "spikes": pad(), "spikes_mask": pad(),
+                        "spikes_timestamp": pad(), "targets": pad(),
+                        "targets_mask": pad(),
+                    }
+                },
+                "metric_kwargs": {},
+            },
+            "optimizer": {"lr": 1e-3, "wd": 5e-5, "scheduler": "cosine", "warmup_pct": 0.1},
+            "parallelism": {"data": -1, "fsdp": 1},
+        }
+    )
+    import jax
+
+    trainer = Trainer(cfg, dataset={"train": rows, "test": rows[:B]})
+
+    def sync():
+        # Force completion of every dispatched step: train() enqueues steps
+        # asynchronously, so wall-clock must wait on the final state (a real
+        # device_get — block_until_ready returns early on the axon relay).
+        leaf = jax.tree_util.tree_leaves(trainer.state.params)[0]
+        float(np.asarray(leaf.ravel()[0]))
+
+    trainer.train()                       # compile + warm + populate HBM cache
+    sync()
+    t0 = time.perf_counter()
+    trainer.train()                       # measured pass: `steps` steps
+    sync()
+    metric_free = steps * B / (time.perf_counter() - t0)
+
+    trainer.metric_fns = {"CER": _trainer_cer_metric(vocab)}
+    trainer.train()                       # warm the metric path
+    sync()
+    t0 = time.perf_counter()
+    trainer.train()
+    sync()
+    with_cer = steps * B / (time.perf_counter() - t0)
+    return metric_free, with_cer
+
+
+def main():
+    import jax
+    import optax
+
+    from llm_bci_tpu.models.ndt1 import NDT1
+
+    cfg = _flagship_cfg()
+    model = NDT1.from_config(
+        cfg, method_name="ctc", vocab_size=VOCAB, blank_id=0, zero_infinity=True,
+        compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
+    )
+
+    rng = np.random.default_rng(0)
+    batch = _flagship_batch(rng)
 
     params = jax.jit(
         lambda r: model.init(r, **batch, training=False)["params"]
@@ -86,6 +281,9 @@ def main():
 
     dev_batch = jax.device_put(batch)
     key = jax.random.PRNGKey(1)
+    step_flops = _compiled_flops(
+        train_step, params, opt_state, dev_batch, key
+    ) or _analytic_train_flops(cfg.get_dict())
     for _ in range(WARMUP):
         key, sub = jax.random.split(key)
         params, opt_state, loss = train_step(params, opt_state, dev_batch, sub)
@@ -100,6 +298,9 @@ def main():
     assert np.isfinite(final_loss), f"non-finite loss {final_loss}"
 
     samples_per_sec = B * ITERS / dt
+    mfu = (step_flops * ITERS / dt) / _peak_flops()
+
+    trainer_sps, trainer_cer_sps = bench_trainer_path()
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
     vs = 1.0
@@ -115,6 +316,10 @@ def main():
                 "value": round(samples_per_sec, 2),
                 "unit": "samples/s/chip",
                 "vs_baseline": round(vs, 3),
+                "mfu": round(mfu, 4),
+                "trainer_samples_per_sec": round(trainer_sps, 2),
+                "trainer_vs_raw": round(trainer_sps / samples_per_sec, 3),
+                "trainer_cer_samples_per_sec": round(trainer_cer_sps, 2),
             }
         )
     )
@@ -124,12 +329,11 @@ def main_bci():
     """BCI end-to-end step: NDT1 trunk + projector + LoRA Llama decoder.
     Single-chip-feasible LLM size (12L/1024h ~ 200M, GQA 4 kv heads)."""
     import jax
-    import jax.numpy as jnp
     import optax
 
     from llm_bci_tpu.config import DictConfig
     from llm_bci_tpu.models.bci import BCI
-    from llm_bci_tpu.models.llama import LlamaConfig, lora_trainable_mask
+    from llm_bci_tpu.models.llama import LlamaConfig
 
     Bb, Tsp, Nch, L = 8, 512, 256, 64
     llama = LlamaConfig(
@@ -177,7 +381,6 @@ def main_bci():
             [np.full((Bb, 16), -100, np.int32),
              rng.integers(3, 32000, size=(Bb, L - 16)).astype(np.int32)], axis=1),
     }
-    import jax
 
     params = jax.jit(
         lambda r: model.init(r, **batch, training=False)["params"]
@@ -206,6 +409,7 @@ def main_bci():
 
     dev_batch = jax.device_put(batch)
     key = jax.random.PRNGKey(1)
+    step_flops = _compiled_flops(train_step, params, opt_state, dev_batch, key)
     for _ in range(WARMUP):
         key, sub = jax.random.split(key)
         params, opt_state, loss = train_step(params, opt_state, dev_batch, sub)
@@ -226,12 +430,15 @@ def main_bci():
         base = json.load(open(baseline_path)).get("bci_lora_train_samples_per_sec")
         if base:
             vs = samples_per_sec / base
-    print(json.dumps({
+    out = {
         "metric": "bci_lora_train_samples_per_sec",
         "value": round(samples_per_sec, 2),
         "unit": "samples/s/chip",
         "vs_baseline": round(vs, 3),
-    }))
+    }
+    if step_flops:
+        out["mfu"] = round((step_flops * ITERS / dt) / _peak_flops(), 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

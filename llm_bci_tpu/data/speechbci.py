@@ -147,10 +147,61 @@ def load_competition_data(
 # Phoneme CTC labels
 # --------------------------------------------------------------------------
 
-def _fallback_g2p() -> Callable[[str], List[str]]:
-    """Crude rule-based grapheme→ARPAbet fallback for when ``g2p_en`` is not
-    installed. Produces *valid vocab tokens* with word boundaries so the CTC
-    pipeline runs end to end, but is NOT linguistically accurate."""
+_ARPABET_DICT_PATH = os.path.join(os.path.dirname(__file__), "arpabet_dict.txt")
+
+
+class DictionaryG2P:
+    """Dictionary-backed grapheme→phoneme with the ``g2p_en`` call protocol
+    (phonemes with stress digits, ``" "`` tokens at word boundaries).
+
+    Uses the vendored CMUdict-convention subset
+    (:data:`_ARPABET_DICT_PATH`) so common-word labels match the reference
+    pipeline (``data_utils/speechbci_dataset.py:142-168``) without network
+    access. Out-of-vocabulary words raise unless ``allow_fallback=True``
+    explicitly opts into the rule-based letter-to-sound approximation —
+    silently mixing non-dictionary labels into a competition run is worse
+    than failing loudly."""
+
+    def __init__(self, dict_path: Optional[str] = None, allow_fallback: bool = False):
+        self.allow_fallback = allow_fallback
+        self._lts = _letter_to_sound_g2p()
+        self.entries: Dict[str, List[str]] = {}
+        with open(dict_path or _ARPABET_DICT_PATH) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                word, *phones = line.split()
+                self.entries[word] = phones
+
+    def __call__(self, sentence: str) -> List[str]:
+        out: List[str] = []
+        oov: List[str] = []
+        for w, word in enumerate(sentence.split()):
+            if w > 0:
+                out.append(" ")
+            key = word.upper().strip(".,!?;:\"")
+            phones = self.entries.get(key)
+            if phones is None:
+                if not self.allow_fallback:
+                    oov.append(word)
+                    continue
+                phones = self._lts(key.lower())
+            out.extend(phones)
+        if oov:
+            raise ValueError(
+                f"words not in the vendored ARPAbet dictionary: {sorted(set(oov))}; "
+                "install g2p_en for full coverage, extend "
+                "llm_bci_tpu/data/arpabet_dict.txt, or pass allow_fallback=True "
+                "to accept rule-based letter-to-sound labels"
+            )
+        return out
+
+
+def _letter_to_sound_g2p() -> Callable[[str], List[str]]:
+    """Crude rule-based grapheme→ARPAbet fallback for OOV words. Produces
+    *valid vocab tokens* so the CTC pipeline runs end to end, but is NOT
+    linguistically accurate — opt-in only."""
     letter_map = {
         "a": ["AE"], "b": ["B"], "c": ["K"], "d": ["D"], "e": ["EH"],
         "f": ["F"], "g": ["G"], "h": ["HH"], "i": ["IH"], "j": ["JH"],
@@ -160,39 +211,36 @@ def _fallback_g2p() -> Callable[[str], List[str]]:
         "y": ["Y"], "z": ["Z"], "'": [],
     }
 
-    def g2p(sentence: str) -> List[str]:
+    def lts(word: str) -> List[str]:
         out: List[str] = []
-        for w, word in enumerate(sentence.split()):
-            if w > 0:
-                out.append(" ")
-            for ch in word:
-                out.extend(letter_map.get(ch, []))
+        for ch in word:
+            out.extend(letter_map.get(ch, []))
         return out
 
-    return g2p
+    return lts
 
 
 def create_phonemes_ctc_labels(
     dataset: Dict[str, List[Dict[str, Any]]],
     vocab_file: str,
     g2p: Optional[Callable[[str], List[str]]] = None,
+    allow_fallback: bool = False,
 ) -> Dict[str, List[Dict[str, Any]]]:
     """Adds ``phonemes`` (list[str]) and ``phonemes_idx`` (np int array) per
     example: g2p, strip stress digits, ``SIL`` at word ends, map through the
-    41-token vocab (reference ``data_utils/speechbci_dataset.py:142-168``)."""
+    41-token vocab (reference ``data_utils/speechbci_dataset.py:142-168``).
+
+    G2P resolution order: explicit ``g2p`` arg > installed ``g2p_en`` >
+    vendored ARPAbet dictionary (:class:`DictionaryG2P`). With the
+    dictionary, out-of-vocabulary words raise unless
+    ``allow_fallback=True`` opts into the letter-to-sound approximation."""
     if g2p is None:
         try:
             from g2p_en import G2p
 
             g2p = G2p()
         except ImportError:
-            import warnings
-
-            warnings.warn(
-                "g2p_en not installed — using a rule-based ARPAbet fallback; "
-                "phoneme labels will NOT match the competition pipeline."
-            )
-            g2p = _fallback_g2p()
+            g2p = DictionaryG2P(allow_fallback=allow_fallback)
     vocab = json.load(open(vocab_file))
 
     def s_to_p(s: str) -> List[str]:

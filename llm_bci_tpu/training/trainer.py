@@ -421,6 +421,38 @@ class Trainer:
     # ----------------------------------------------------------- data → dev
 
     def _prefetch(self, dataloader, depth: int = 2):
+        """Batches ready for the step fn, overlapped with compute.
+
+        With ``training.cache_device_batches`` the collated batches are kept
+        resident in HBM after the first pass (speechbci/IBL-scale datasets
+        are a few hundred MB) and later epochs replay them with zero
+        host→device traffic — batch *composition* is frozen after epoch 1,
+        batch *order* still reshuffles. Otherwise batches stream through
+        :meth:`_prefetch_stream` each epoch."""
+        if bool(self.config.training.get("cache_device_batches", False)):
+            if not hasattr(self, "_device_batch_cache"):
+                self._device_batch_cache = {}
+                self._cache_order_rng = np.random.default_rng(
+                    int(self.config.seed) + 7
+                )
+            key = id(dataloader)
+            cache = self._device_batch_cache.get(key)
+            if cache is None:
+                cache = []
+                for item in self._prefetch_stream(dataloader, depth):
+                    cache.append(item)
+                    yield item
+                self._device_batch_cache[key] = cache
+                return
+            order = np.arange(len(cache))
+            if getattr(dataloader, "shuffle", False):
+                self._cache_order_rng.shuffle(order)
+            for i in order:
+                yield cache[i]
+            return
+        yield from self._prefetch_stream(dataloader, depth)
+
+    def _prefetch_stream(self, dataloader, depth: int = 2):
         """Run collate + host→device transfer in a background thread so the
         next batch overlaps the running step (the reference relies on torch
         DataLoader workers + pin_memory for the same purpose)."""

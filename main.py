@@ -62,7 +62,11 @@ def main(args):
         if config["data"].get("vocab_file"):
             blank_id = config.method.model_kwargs.blank_id
             vocab = json.load(open(config.data.vocab_file))
-            dataset = create_phonemes_ctc_labels(dataset, config.data.vocab_file)
+            dataset = create_phonemes_ctc_labels(
+                dataset,
+                config.data.vocab_file,
+                allow_fallback=bool(config["data"].get("allow_g2p_fallback", False)),
+            )
         if config["data"].get("tokenizer_path"):
             from transformers import AutoTokenizer
 

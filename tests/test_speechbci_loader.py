@@ -77,12 +77,20 @@ def test_phoneme_labels_and_ctc_training(tmp_path):
     make_mat_dataset(str(tmp_path / "mat"))
     ds = load_competition_data(str(tmp_path / "mat"), zscore_block=True)
     vocab_file = os.path.join(os.path.dirname(os.path.dirname(__file__)), "vocab.json")
-    with pytest.warns(UserWarning, match="g2p_en"):
-        ds = create_phonemes_ctc_labels(ds, vocab_file)
+    # g2p_en is absent in this image; labels come from the vendored
+    # ARPAbet dictionary with no warning and no fallback needed.
+    ds = create_phonemes_ctc_labels(ds, vocab_file)
     vocab = json.load(open(vocab_file))
     row = ds["train"][0]
     assert row["phonemes"][-1] == "SIL"
     assert all(0 <= i < len(vocab) for i in row["phonemes_idx"])
+    # dictionary-backed: "world" maps to its real ARPAbet, not letter soup
+    by_sentence = {r["sentence"]: r for split in ds.values() for r in split}
+    hello = by_sentence.get("hello world")
+    assert hello is not None
+    assert hello["phonemes"] == [
+        "HH", "AH", "L", "OW", "SIL", "W", "ER", "L", "D", "SIL",
+    ]
 
     pad = lambda: {"dim": 0, "side": "right", "value": 0, "truncate": None, "min_length": None}
     cfg = DictConfig(
@@ -155,3 +163,31 @@ def test_eval_phonemes_analysis(tmp_path):
     assert 0.0 <= res["wer"] <= 1.0
     assert res["ci_low"] <= res["wer"] <= res["ci_high"] or res["wer"] == 0.0
     assert best_of_k_wer(path, FakeTok()) == 0.0
+
+
+def test_dictionary_g2p_oov_gating():
+    """OOV words hard-fail unless the letter-to-sound fallback is opted in
+    (competition labels must not silently degrade)."""
+    from llm_bci_tpu.data.speechbci import DictionaryG2P
+
+    g2p = DictionaryG2P()
+    phones = g2p("how are you")
+    assert phones == ["HH", "AW1", " ", "AA1", "R", " ", "Y", "UW1"]
+
+    with pytest.raises(ValueError, match="zyzzyva"):
+        g2p("the zyzzyva flew")
+
+    g2p_fb = DictionaryG2P(allow_fallback=True)
+    phones = g2p_fb("the zyzzyva flew")
+    assert " " in phones and len(phones) > 3  # runs end to end
+
+
+def test_create_phonemes_labels_oov_raises(tmp_path):
+    from llm_bci_tpu.data.speechbci import create_phonemes_ctc_labels
+
+    vocab_file = os.path.join(os.path.dirname(os.path.dirname(__file__)), "vocab.json")
+    ds = {"train": [{"sentence": "completely untranscribable xylopharmacology"}]}
+    with pytest.raises(ValueError, match="arpabet_dict"):
+        create_phonemes_ctc_labels(ds, vocab_file)
+    out = create_phonemes_ctc_labels(ds, vocab_file, allow_fallback=True)
+    assert out["train"][0]["phonemes"][-1] == "SIL"
