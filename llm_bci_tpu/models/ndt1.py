@@ -41,6 +41,11 @@ from llm_bci_tpu.models.masker import MaskerConfig, apply_maskers
 from llm_bci_tpu.ops.attention import dot_product_attention, make_attention_mask
 from llm_bci_tpu.ops.context import create_context_mask
 from llm_bci_tpu.ops.ctc import ctc_loss
+
+# "auto" flash-attention crossover: XLA SDPA wins below this sequence
+# length (measured: flash loses at the stacked-CTC T'=121, wins at mlm
+# T=1024 with batch >= 32 — memory/perf notes r1; re-measured r2).
+_FLASH_AUTO_MIN_T = 512
 from llm_bci_tpu.ops.losses import mse_loss, poisson_nll_loss
 from llm_bci_tpu.ops.rotary import apply_rotary_pos_emb, rope_cos_sin
 from llm_bci_tpu.ops.smoothing import gaussian_kernel, smooth_spikes
@@ -529,17 +534,22 @@ class NeuralEncoder(nn.Module):
             dtype=dt,
         )
         ctx = cfg["context"]
-        self.use_flash = bool(tr.get("flash_attention", False))
+        # flash_attention: true | false | "auto". "auto" picks the Pallas
+        # kernel per traced sequence length (wins at long unstacked mlm
+        # shapes, loses to XLA SDPA at the short stacked-CTC lengths) —
+        # measured crossover recorded in _FLASH_AUTO_MIN_T.
+        mode = tr.get("flash_attention", "auto")
+        self.flash_mode = {True: "on", False: "off"}.get(mode, str(mode))
         fwd_w = None if ctx["forward"] < 0 else ctx["forward"]
         bwd_w = None if ctx["backward"] < 0 else ctx["backward"]
         # context value -1 means "mask self-offset" (window width -1 in that
         # direction, models/ndt1.py:30-41); only expressible as a dense mask.
         flash_ok = ctx["forward"] != -1 and ctx["backward"] != -1
-        self.use_flash = self.use_flash and flash_ok
+        self.flash_possible = flash_ok and self.flash_mode != "off"
         self.layers = [
             NeuralEncoderLayer(
                 max_F=emb["max_F"], cfg=tr, dtype=dt,
-                use_flash=self.use_flash,
+                use_flash=self.flash_possible,
                 context_forward=fwd_w, context_backward=bwd_w,
                 name=f"layer_{i}",
             )
@@ -557,6 +567,21 @@ class NeuralEncoder(nn.Module):
             fixup_init=fac["fixup_init"],
             init_range=fac["init_range"],
         )
+
+    def _use_flash_now(self, T: int) -> bool:
+        """Per-trace flash decision: T is static under jit, so "auto" costs
+        nothing at runtime. The Pallas kernel needs a TPU backend (or the
+        test-only interpreter mode)."""
+        if not self.flash_possible:
+            return False
+        from llm_bci_tpu.ops import flash_attention as fa
+
+        backend_ok = jax.default_backend() == "tpu" or fa._INTERPRET
+        if not backend_ok:
+            return False
+        if self.flash_mode == "on":
+            return True
+        return self.flash_mode == "auto" and T >= _FLASH_AUTO_MIN_T
 
     def __call__(
         self,
@@ -598,7 +623,7 @@ class NeuralEncoder(nn.Module):
         )
         Tn = x.shape[1]
 
-        if self.use_flash:
+        if self._use_flash_now(Tn):
             # Flash path: the band + padding mask is evaluated inside the
             # Pallas kernel — no (B, T, T) mask tensor is ever materialized.
             attn_mask = None

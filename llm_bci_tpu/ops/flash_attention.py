@@ -456,13 +456,35 @@ def banded_flash_attention(
 
 
 def flash_attention_supported(q, k, v, mask, is_causal) -> bool:
-    """The generic ``dot_product_attention`` entry can only route here when
-    the mask is expressible as band+padding — callers with structured masks
-    should use :func:`banded_flash_attention` directly."""
-    return False
+    """Routing predicate for the generic ``dot_product_attention`` entry
+    (``set_attention_impl("pallas")``): the kernel handles self-attention
+    with no mask or a causal band. Dense boolean masks are not expressible
+    as band+padding at trace time — those callers should use
+    :func:`banded_flash_attention` directly. Short sequences stay on XLA
+    SDPA, where the fused dense kernel is faster (measured crossover ~512)."""
+    import jax as _jax
+
+    if mask is not None:
+        return False
+    if not (_jax.default_backend() == "tpu" or _INTERPRET):
+        return False
+    B, T, H, D = q.shape
+    if k.shape[1] != T or v.shape[1] != T:
+        return False        # self-attention lengths only
+    return T >= 512
 
 
 def flash_attention(q, k, v, mask=None, is_causal=False):
-    raise NotImplementedError(
-        "use banded_flash_attention for band+padding masks"
+    """Generic-entry flash attention: full or causal self-attention
+    (band forward=0). Masked variants go through
+    :func:`banded_flash_attention` with an explicit key-validity vector."""
+    if mask is not None:
+        raise NotImplementedError(
+            "dense masks are not supported on the generic flash path; "
+            "use banded_flash_attention(key_valid=...) for band+padding"
+        )
+    return banded_flash_attention(
+        q, k, v, None,
+        context_forward=0 if is_causal else None,
+        context_backward=None,
     )

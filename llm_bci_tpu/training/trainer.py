@@ -69,6 +69,10 @@ class TrainState:
     params: Any
     opt_state: Any
     extra_vars: Any = dataclasses.field(default_factory=dict)  # e.g. batch_stats
+    # PRNG carried inside the state: the train step splits it on device, so
+    # the hot loop is ONE dispatch per step (no eager host-side key split —
+    # measurable per-step overhead, and resume reproduces the stream).
+    rng: Any = None
 
 
 class ModelHandle:
@@ -357,11 +361,13 @@ class Trainer:
             self.tx.init,
             out_shardings=self.opt_shardings,
         )(params)
+        train_rng, self.rng = jax.random.split(self.rng)
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=opt_state,
             extra_vars=extra_vars,
+            rng=train_rng,
         )
         # Concrete shardings of the live extra_vars — resume re-places
         # restored host arrays with exactly these (opt_shardings recorded
@@ -376,8 +382,8 @@ class Trainer:
     def build_step_fns(self) -> None:
         model = self.model
 
-        def train_step(state: TrainState, batch, rng):
-            k_drop, k_noise, k_mask = jax.random.split(rng, 3)
+        def train_step(state: TrainState, batch):
+            k_drop, k_noise, k_mask, new_rng = jax.random.split(state.rng, 4)
             mutable = list(state.extra_vars.keys())
 
             def loss_fn(params):
@@ -402,6 +408,7 @@ class Trainer:
                 params=params,
                 opt_state=opt_state,
                 extra_vars=new_vars,
+                rng=new_rng,
             )
             return new_state, out.to_dict()
 
@@ -570,8 +577,7 @@ class Trainer:
                     jax.profiler.start_trace(
                         profile_cfg.get("dir", "profiles"),
                     )
-                step_rng, self.rng = jax.random.split(self.rng)
-                self.state, outputs = self._train_step(self.state, dev_batch, step_rng)
+                self.state, outputs = self._train_step(self.state, dev_batch)
                 window_samples += next(iter(dev_batch.values())).shape[0]
                 if profile_cfg and global_step == (
                     profile_cfg.get("start_step", 0)
@@ -727,5 +733,6 @@ class Trainer:
             params=jax.device_put(state.params, self.param_shardings),
             opt_state=jax.device_put(state.opt_state, self.opt_shardings),
             extra_vars=jax.device_put(state.extra_vars, self.extra_var_shardings),
+            rng=jnp.asarray(state.rng),
         )
         return step
