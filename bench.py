@@ -157,6 +157,74 @@ def _trainer_cer_metric(vocab, blank_id=0):
     return cer
 
 
+def bench_mlm(flash="auto", B_mlm: int = 32, T_mlm: int = 1024) -> float:
+    """NDT1-mlm long-sequence workload (unstacked T=1024, the shape where
+    the Pallas flash kernel wins — kernel-level 1.8x vs XLA SDPA fwd+bwd at
+    block 512). ``flash`` forwards to transformer.flash_attention."""
+    import jax
+    import optax
+
+    from llm_bci_tpu.config import resolve_path, update_config
+    from llm_bci_tpu.models.ndt1 import NDT1
+
+    cfg = update_config(
+        resolve_path("configs/ndt1.yaml"),
+        {
+            "encoder": {
+                "masker": {"neuron": {"active": True, "mode": "random", "ratio": 0.3}},
+                "embedder": {
+                    "n_channels": N, "max_F": T_mlm, "input_dim": 256,
+                    "stack": {"active": False},
+                },
+                "transformer": {"flash_attention": flash},
+            }
+        },
+    )
+    model = NDT1.from_config(
+        cfg, method_name="mlm", loss="poisson_nll", log_input=True,
+        compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
+    )
+    rng = np.random.default_rng(0)
+    batch = {
+        "spikes": rng.poisson(1.0, size=(B_mlm, T_mlm, N)).astype(np.float32),
+        "spikes_mask": np.ones((B_mlm, T_mlm), np.int32),
+        "spikes_timestamp": np.tile(np.arange(T_mlm, dtype=np.int32), (B_mlm, 1)),
+        "spikes_lengths": np.full((B_mlm,), T_mlm, np.int32),
+    }
+    params = jax.jit(
+        lambda r: model.init(r, **batch, training=False)["params"]
+    )(jax.random.PRNGKey(0))
+    tx = optax.adamw(1e-3, weight_decay=5e-5)
+    opt_state = tx.init(params)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_step(params, opt_state, rng, batch):
+        k1, k2, k3, rng2 = jax.random.split(rng, 4)
+
+        def loss_fn(p):
+            return model.apply(
+                {"params": p}, **batch, training=True,
+                rngs={"dropout": k1, "noise": k2, "mask": k3},
+            ).loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, rng2, loss
+
+    dev_batch = jax.device_put(batch)
+    key = jax.random.PRNGKey(1)
+    for _ in range(WARMUP):
+        params, opt_state, key, loss = train_step(params, opt_state, key, dev_batch)
+    float(jax.device_get(loss))
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        params, opt_state, key, loss = train_step(params, opt_state, key, dev_batch)
+    final_loss = float(jax.device_get(loss))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(final_loss)
+    return B_mlm * ITERS / dt
+
+
 def bench_trainer_path(steps: int = 30):
     """samples/s through the real Trainer.train() loop, compiled-warm, with
     ``cache_device_batches`` so the dataset is HBM-resident (the deployment
@@ -264,9 +332,9 @@ def main():
     tx = optax.adamw(1e-3, weight_decay=5e-5)
     opt_state = tx.init(params)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, batch, rng):
-        k1, k2, k3 = jax.random.split(rng, 3)
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_step(params, opt_state, rng, batch):
+        k1, k2, k3, rng2 = jax.random.split(rng, 4)
 
         def loss_fn(p):
             out = model.apply(
@@ -277,22 +345,20 @@ def main():
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state2 = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state2, loss
+        return optax.apply_updates(params, updates), opt_state2, rng2, loss
 
     dev_batch = jax.device_put(batch)
     key = jax.random.PRNGKey(1)
     step_flops = _compiled_flops(
-        train_step, params, opt_state, dev_batch, key
+        train_step, params, opt_state, key, dev_batch
     ) or _analytic_train_flops(cfg.get_dict())
     for _ in range(WARMUP):
-        key, sub = jax.random.split(key)
-        params, opt_state, loss = train_step(params, opt_state, dev_batch, sub)
+        params, opt_state, key, loss = train_step(params, opt_state, key, dev_batch)
     float(jax.device_get(loss))  # full sync (device_get, not just ready-flag)
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        key, sub = jax.random.split(key)
-        params, opt_state, loss = train_step(params, opt_state, dev_batch, sub)
+        params, opt_state, key, loss = train_step(params, opt_state, key, dev_batch)
     final_loss = float(jax.device_get(loss))
     dt = time.perf_counter() - t0
     assert np.isfinite(final_loss), f"non-finite loss {final_loss}"
@@ -301,13 +367,18 @@ def main():
     mfu = (step_flops * ITERS / dt) / _peak_flops()
 
     trainer_sps, trainer_cer_sps = bench_trainer_path()
+    mlm_sps = bench_mlm()
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
-    vs = 1.0
+    vs, mlm_vs = 1.0, 1.0
     if os.path.exists(baseline_path):
-        base = json.load(open(baseline_path)).get("ndt1_ctc_train_samples_per_sec")
+        baselines = json.load(open(baseline_path))
+        base = baselines.get("ndt1_ctc_train_samples_per_sec")
         if base:
             vs = samples_per_sec / base
+        mlm_base = baselines.get("ndt1_mlm_xla_train_samples_per_sec")
+        if mlm_base:
+            mlm_vs = mlm_sps / mlm_base
 
     print(
         json.dumps(
@@ -320,6 +391,9 @@ def main():
                 "trainer_samples_per_sec": round(trainer_sps, 2),
                 "trainer_vs_raw": round(trainer_sps / samples_per_sec, 3),
                 "trainer_cer_samples_per_sec": round(trainer_cer_sps, 2),
+                "mlm_samples_per_sec": round(mlm_sps, 2),
+                # vs the pinned XLA-SDPA mlm baseline: the flash-kernel win
+                "mlm_vs_xla_baseline": round(mlm_vs, 3),
             }
         )
     )
@@ -393,9 +467,9 @@ def main_bci():
     )
     opt_state = tx.init(params)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, batch, rng):
-        k1, k2, k3 = jax.random.split(rng, 3)
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_step(params, opt_state, rng, batch):
+        k1, k2, k3, rng2 = jax.random.split(rng, 4)
 
         def loss_fn(p):
             return model.apply(
@@ -405,19 +479,17 @@ def main_bci():
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state2 = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state2, loss
+        return optax.apply_updates(params, updates), opt_state2, rng2, loss
 
     dev_batch = jax.device_put(batch)
     key = jax.random.PRNGKey(1)
-    step_flops = _compiled_flops(train_step, params, opt_state, dev_batch, key)
+    step_flops = _compiled_flops(train_step, params, opt_state, key, dev_batch)
     for _ in range(WARMUP):
-        key, sub = jax.random.split(key)
-        params, opt_state, loss = train_step(params, opt_state, dev_batch, sub)
+        params, opt_state, key, loss = train_step(params, opt_state, key, dev_batch)
     float(jax.device_get(loss))
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        key, sub = jax.random.split(key)
-        params, opt_state, loss = train_step(params, opt_state, dev_batch, sub)
+        params, opt_state, key, loss = train_step(params, opt_state, key, dev_batch)
     final_loss = float(jax.device_get(loss))
     dt = time.perf_counter() - t0
     assert np.isfinite(final_loss)

@@ -419,12 +419,17 @@ def banded_flash_attention(
     key_valid: Optional[jax.Array] = None,   # (B, T) 1 = valid key
     context_forward: Optional[int] = None,   # None = unbounded
     context_backward: Optional[int] = None,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: int = 512,
+    block_k: int = 512,
 ) -> jax.Array:
     """Flash attention with a static banded window and dynamic key padding.
 
     Rows with no valid key in their band return 0.
+
+    Default blocks: 512 measured fastest across T=512..1024 on v5e
+    (fwd+bwd, B=64 H=8 D=128: 21.7 ms vs 36.3 ms at block 128 and
+    ~39 ms for XLA SDPA at T=1024); the clamp below keeps small-T shapes
+    legal. Callers can override for VMEM-constrained configs.
     """
     B, T, H, D = q.shape
     fwd_w, bwd_w = _band_bounds(context_forward, context_backward, T)
