@@ -117,6 +117,18 @@ def _peak_flops() -> float:
     return 197e12
 
 
+def _set_rng_impl():
+    """Match the Trainer's training.rng_impl=auto: hardware RngBitGenerator
+    on TPU (threefry dropout masks cost ~22% of the flagship fwd+bwd),
+    threefry elsewhere. BENCH_RNG overrides."""
+    import jax
+
+    impl = os.environ.get("BENCH_RNG", "auto")
+    if impl == "auto":
+        impl = "rbg" if jax.default_backend() == "tpu" else "threefry2x32"
+    jax.config.update("jax_default_prng_impl", impl)
+
+
 def _synth_speechbci_rows(n_rows, seed=0):
     """Synthetic speechbci-shaped rows incl. the unused string columns the
     metric-fn protocol routes to host (reference pad_collate_fn behavior)."""
@@ -145,7 +157,9 @@ def _trainer_cer_metric(vocab, blank_id=0):
     from llm_bci_tpu.eval.eval_bci import format_ctc, word_error_count
 
     def cer(model, model_inputs, unused_inputs, outputs, **kwargs):
-        preds = np.asarray(outputs["preds"]).argmax(-1)
+        # Device-side argmax: one (B, T') int transfer instead of the full
+        # (B, T', V) f32 logits (matches main.py's CER).
+        preds = np.asarray(outputs["preds"].argmax(-1))
         errors, words = 0, 0
         for i in range(preds.shape[0]):
             pred_str = " ".join(format_ctc(preds[i], vocab, blank_id))
@@ -317,6 +331,7 @@ def main():
 
     from llm_bci_tpu.models.ndt1 import NDT1
 
+    _set_rng_impl()
     cfg = _flagship_cfg()
     model = NDT1.from_config(
         cfg, method_name="ctc", vocab_size=VOCAB, blank_id=0, zero_infinity=True,
@@ -408,6 +423,8 @@ def main_bci():
     from llm_bci_tpu.config import DictConfig
     from llm_bci_tpu.models.bci import BCI
     from llm_bci_tpu.models.llama import LlamaConfig
+
+    _set_rng_impl()
 
     Bb, Tsp, Nch, L = 8, 512, 256, 64
     llama = LlamaConfig(

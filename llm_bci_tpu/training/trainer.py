@@ -111,6 +111,19 @@ class Trainer:
         self.verbosity = self.config.verbosity
         self.init_wandb()
 
+        # PRNG bit generator. Threefry (the JAX default) is counter-exact
+        # across backends but costs real VPU time at training dropout rates —
+        # measured 5.6 ms of a 26 ms flagship fwd+bwd (≈22%). "rbg" uses the
+        # XLA RngBitGenerator, which TPUs implement in hardware; "auto" picks
+        # rbg on TPU and threefry elsewhere so CPU tests keep exact streams.
+        # The flag is global (keys are raw uint32 arrays whose meaning is
+        # read from jax_default_prng_impl), so checkpoints must be resumed
+        # under the same impl — key shapes differ between impls and Orbax
+        # restore enforces that shape.
+        impl = str(self.config.training.get("rng_impl", "auto"))
+        if impl == "auto":
+            impl = "rbg" if jax.default_backend() == "tpu" else "threefry2x32"
+        jax.config.update("jax_default_prng_impl", impl)
         self.rng = jax.random.PRNGKey(int(self.config.seed))
 
         # Persistent XLA compilation cache: repeat runs skip the (slow) TPU

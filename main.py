@@ -111,7 +111,8 @@ def main(args):
         config["method"]["model_kwargs"]["n_labels"] = len(all_labels)
 
         def accuracy(model, model_inputs, unused_inputs, outputs, **kwargs):
-            preds = outputs["preds"].argmax(-1)
+            # argmax on device: ships (B,) ints instead of the (B, C) logits.
+            preds = np.asarray(outputs["preds"].argmax(-1))
             targets = np.asarray(model_inputs["targets"])[:, 0]
             return (preds == targets).sum() / preds.shape[0]
 
@@ -122,7 +123,11 @@ def main(args):
 
         def make_cer(n_print_default=0):
             def cer(model, model_inputs, unused_inputs, outputs, **kwargs):
-                preds = outputs["preds"].argmax(-1)
+                # argmax on device, then ONE host transfer of (B, T') ints —
+                # iterating format_ctc over a device array would sync per
+                # element, and pulling the raw (B, T', V) f32 logits is ~160x
+                # the bytes.
+                preds = np.asarray(outputs["preds"].argmax(-1))
                 pred_strs = [" ".join(format_ctc(p, vocab, blank_id)) for p in preds]
                 phonemes = [" ".join(p) for p in unused_inputs["phonemes"]]
                 errors, n_phonemes = word_error_count(pred_strs, phonemes)
@@ -150,7 +155,7 @@ def main(args):
     if config.method.model_kwargs.method_name == "endtoend":
 
         def assisted_wer(model, model_inputs, unused_inputs, outputs, **kwargs):
-            preds = outputs["preds"].argmax(-1)[:, :-1]
+            preds = np.asarray(outputs["preds"].argmax(-1))[:, :-1]
             targets = np.asarray(outputs["targets"])[:, 1:]
             pred_sentences = [
                 tokenizer.decode(p[t != -100], skip_special_tokens=True)

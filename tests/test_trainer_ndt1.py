@@ -188,3 +188,26 @@ def test_fsdp_resume_opt_state_sharded(tmp_path):
         assert a.sharding.is_equivalent_to(b.sharding, a.ndim), (
             a.sharding, b.sharding)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_trainer_rng_impl_rbg(tmp_path):
+    """training.rng_impl=rbg trains with the XLA RngBitGenerator keys (the
+    TPU-default fast path; on TPU `auto` resolves to this). The flag is a
+    process-global JAX config, so restore the previous impl afterwards."""
+    import jax
+
+    from llm_bci_tpu.training import Trainer
+
+    prev = jax.config.jax_default_prng_impl
+    try:
+        cfg = base_config(tmp_path)
+        cfg["training"]["rng_impl"] = "rbg"
+        trainer = Trainer(cfg, dataset=synth_dataset())
+        assert jax.config.jax_default_prng_impl == "rbg"
+        # rbg raw keys are (4,) uint32 (threefry's are (2,))
+        assert np.asarray(trainer.state.rng).shape == (4,)
+        trainer.train()
+        loss, _ = trainer.evaluate()
+        assert np.isfinite(loss)
+    finally:
+        jax.config.update("jax_default_prng_impl", prev)
