@@ -197,3 +197,26 @@ def test_attention_prob_dropout_semantics():
         for i in range(200)
     ]
     np.testing.assert_allclose(np.mean(outs, axis=0), np.asarray(base), atol=0.1)
+
+
+def test_stack_projection_equals_unfold_linear():
+    """StackProjection (fused strided conv) must equal the reference's
+    Unfold->Linear decomposition (stack_timesteps + dense matmul) with the
+    SAME kernel/bias params (models/ndt1.py:133-142)."""
+    import jax
+    import jax.numpy as jnp
+
+    from llm_bci_tpu.models.ndt1 import StackProjection, stack_timesteps
+
+    B, T, D, H, size, stride = 3, 40, 6, 10, 8, 4
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, T, D)).astype(np.float32))
+    mod = StackProjection(hidden_size=H, size=size, stride=stride)
+    params = mod.init(jax.random.PRNGKey(0), x)
+    out = mod.apply(params, x)
+
+    kernel = params["params"]["kernel"]        # (size*D, H)
+    bias = params["params"]["bias"]
+    ref = stack_timesteps(x, size, stride) @ kernel + bias
+    assert out.shape == (B, 1 + (T - size) // stride, H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
