@@ -496,7 +496,13 @@ def main_bci():
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state2 = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state2, rng2, loss
+        # Frozen leaves pass through untouched (donated buffers alias);
+        # apply_updates' p+0 would rewrite the frozen LLM every step.
+        new_params = jax.tree_util.tree_map(
+            lambda m, p, u: optax.apply_updates(p, u) if m else p,
+            mask, params, updates,
+        )
+        return new_params, opt_state2, rng2, loss
 
     dev_batch = jax.device_put(batch)
     key = jax.random.PRNGKey(1)

@@ -97,18 +97,30 @@ class LoRADense(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
         in_features = x.shape[-1]
+        frozen = self.r > 0 or self.freeze_base
+        # Frozen base params are STORED in compute dtype (the reference casts
+        # its whole LLM to fp16, models/bci.py:71): they never receive
+        # optimizer updates, so no fp32 master copy is needed — and keeping
+        # them f32 would re-convert ~2x the bytes from HBM every step.
         kernel = self.param(
-            "kernel", nn.initializers.normal(0.02), (in_features, self.features)
+            "kernel",
+            nn.initializers.normal(0.02),
+            (in_features, self.features),
+            self.dtype if frozen else jnp.float32,
         ).astype(self.dtype)
-        if self.r > 0 or self.freeze_base:
-            # Frozen base (peft semantics / freeze_llm): stop_gradient lets
-            # XLA prune the dW matmul in backward — the optimizer mask alone
-            # would still pay for it.
+        if frozen:
+            # stop_gradient lets XLA prune the dW matmul in backward — the
+            # optimizer mask alone would still pay for it.
             kernel = jax.lax.stop_gradient(kernel)
         y = x @ kernel
         if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros, (self.features,))
-            if self.r > 0 or self.freeze_base:
+            bias = self.param(
+                "bias",
+                nn.initializers.zeros,
+                (self.features,),
+                self.dtype if frozen else jnp.float32,
+            )
+            if frozen:
                 bias = jax.lax.stop_gradient(bias)
             y = y + bias.astype(self.dtype)
         if self.r > 0:
@@ -279,9 +291,14 @@ class LlamaForCausalLM(nn.Module):
 
     def setup(self):
         cfg = self.config
+        # Frozen-base runs (LoRA / freeze_llm) store the table in compute
+        # dtype and stop its gradient — the scatter-add of a (vocab, H) f32
+        # grad buffer for a frozen table is pure waste.
         self.embed_tokens = nn.Embed(
             cfg.vocab_size, cfg.hidden_size,
-            embedding_init=nn.initializers.normal(0.02), name="embed_tokens",
+            embedding_init=nn.initializers.normal(0.02),
+            param_dtype=self.dtype if self.freeze_base else jnp.float32,
+            name="embed_tokens",
         )
         self.layers = [
             LlamaDecoderLayer(
@@ -292,13 +309,19 @@ class LlamaForCausalLM(nn.Module):
         ]
         self.norm = RMSNorm(cfg.rms_norm_eps, name="norm")
         if not cfg.tie_word_embeddings:
-            self.lm_head = nn.Dense(
-                cfg.vocab_size, use_bias=False,
-                kernel_init=nn.initializers.normal(0.02), name="lm_head",
+            # LoRADense with r=0 == plain Dense, but honors freeze_base
+            # (stop_gradient kills the (vocab, H) dW matmul — ~97 GFLOP per
+            # flagship step — and the param is stored in compute dtype).
+            self.lm_head = LoRADense(
+                cfg.vocab_size, use_bias=False, r=0,
+                freeze_base=self.freeze_base, dtype=self.dtype, name="lm_head",
             )
 
     def embed(self, input_ids: jax.Array) -> jax.Array:
-        return self.embed_tokens(input_ids)
+        table = self.embed_tokens.embedding
+        if self.freeze_base:
+            table = jax.lax.stop_gradient(table)
+        return jnp.take(table, input_ids, axis=0)
 
     def __call__(
         self,
@@ -311,7 +334,7 @@ class LlamaForCausalLM(nn.Module):
         training: bool = False,
     ):
         if inputs_embeds is None:
-            inputs_embeds = self.embed_tokens(input_ids)
+            inputs_embeds = self.embed(input_ids)
         x = inputs_embeds.astype(self.dtype)
         B, T, _ = x.shape
         S = attention_mask.shape[1] if attention_mask is not None else T
@@ -331,7 +354,10 @@ class LlamaForCausalLM(nn.Module):
         x = self.norm(x)
 
         if self.config.tie_word_embeddings:
-            logits = x @ self.embed_tokens.embedding.T.astype(self.dtype)
+            table = self.embed_tokens.embedding
+            if self.freeze_base:
+                table = jax.lax.stop_gradient(table)
+            logits = x @ table.T.astype(self.dtype)
         else:
             logits = self.lm_head(x)
         logits = logits.astype(jnp.float32)

@@ -326,8 +326,10 @@ class Trainer:
         # Frozen-param support (LoRA / freeze_llm, the peft requires_grad
         # analog): models expose a bool pytree; frozen leaves get no
         # optimizer state or updates.
+        self._trainable_mask = None
         if hasattr(self.model, "trainable_mask"):
             mask = self.model.trainable_mask(params_shape)
+            self._trainable_mask = mask
             # NOT optax.masked: masked passes frozen-leaf gradients through
             # untouched as updates. Frozen leaves must get zero updates.
             labels = jax.tree_util.tree_map(
@@ -351,8 +353,14 @@ class Trainer:
         )(init_rng)
 
         # Component warm-start (from_pt chain), then re-place on the mesh.
+        # Loaded blobs (e.g. f32 HF checkpoints) are cast to the init param
+        # dtypes — frozen LLM leaves are stored in compute dtype, and a
+        # silent f32 leaf would both recompile the step and lose that.
         if hasattr(self.model, "warm_start_params"):
             warm = self.model.warm_start_params(jax.device_get(params))
+            warm = jax.tree_util.tree_map(
+                lambda w, p: jnp.asarray(w, dtype=p.dtype), warm, params
+            )
             params = jax.device_put(warm, self.param_shardings)
 
         # Optimizer-state shardings must be explicit: with out_shardings=None
@@ -415,7 +423,16 @@ class Trainer:
                 loss_fn, has_aux=True
             )(state.params)
             updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
-            params = optax.apply_updates(state.params, updates)
+            if self._trainable_mask is not None:
+                # Frozen leaves pass through UNTOUCHED: with donated state the
+                # buffer aliases in place, where apply_updates' `p + 0` would
+                # rewrite the whole frozen LLM (hundreds of MB) every step.
+                params = jax.tree_util.tree_map(
+                    lambda m, p, u: optax.apply_updates(p, u) if m else p,
+                    self._trainable_mask, state.params, updates,
+                )
+            else:
+                params = optax.apply_updates(state.params, updates)
             new_state = TrainState(
                 step=state.step + 1,
                 params=params,
