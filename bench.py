@@ -414,17 +414,12 @@ def main():
     )
 
 
-def main_bci():
-    """BCI end-to-end step: NDT1 trunk + projector + LoRA Llama decoder.
-    Single-chip-feasible LLM size (12L/1024h ~ 200M, GQA 4 kv heads)."""
-    import jax
-    import optax
-
+def _bci_model_and_batch():
+    """Shared BCI fixture: NDT1 trunk + projector + LoRA Llama decoder at a
+    single-chip-feasible LLM size (12L/1024h ~ 200M, GQA 4 kv heads)."""
     from llm_bci_tpu.config import DictConfig
     from llm_bci_tpu.models.bci import BCI
     from llm_bci_tpu.models.llama import LlamaConfig
-
-    _set_rng_impl()
 
     Bb, Tsp, Nch, L = 8, 512, 256, 64
     llama = LlamaConfig(
@@ -472,7 +467,16 @@ def main_bci():
             [np.full((Bb, 16), -100, np.int32),
              rng.integers(3, 32000, size=(Bb, L - 16)).astype(np.int32)], axis=1),
     }
+    return model, batch, Bb
 
+
+def main_bci():
+    """BCI end-to-end training step throughput."""
+    import jax
+    import optax
+
+    _set_rng_impl()
+    model, batch, Bb = _bci_model_and_batch()
     params = jax.jit(
         lambda r: model.init(r, **batch, training=False)["params"]
     )(jax.random.PRNGKey(0))
@@ -536,8 +540,71 @@ def main_bci():
     print(json.dumps(out))
 
 
+def main_generate():
+    """Serving path: jitted KV-cache decode from the spliced neural prompt
+    (the eval_phonemes WER surface, reference models/bci.py:224-246).
+    Reports greedy new-tokens/s and diverse-beam(5) sequences/s."""
+    import jax
+
+    _set_rng_impl()
+    model, batch, Bb = _bci_model_and_batch()
+    gen_keys = (
+        "input_ids", "attention_mask", "input_split", "spikes",
+        "spikes_mask", "spikes_timestamp", "spikes_lengths",
+    )
+    gen_inputs = {k: batch[k] for k in gen_keys}
+    params = jax.jit(
+        lambda r: model.init(r, **batch, training=False)["params"]
+    )(jax.random.PRNGKey(0))
+    dev_inputs = jax.device_put(gen_inputs)
+    NEW = 32
+
+    @functools.partial(jax.jit, static_argnums=())
+    def greedy(params, inputs):
+        return model.apply(
+            {"params": params}, **inputs, method="generate",
+            max_new_tokens=NEW, num_beams=1,
+        )
+
+    @jax.jit
+    def beam5(params, inputs):
+        return model.apply(
+            {"params": params}, **inputs, method="generate",
+            max_new_tokens=NEW, num_beams=5, num_beam_groups=5,
+            diversity_penalty=1.2, num_return_sequences=5,
+        )
+
+    def timed(fn):
+        for _ in range(2):
+            out = fn(params, dev_inputs)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+        t0 = time.perf_counter()
+        for _ in range(5):
+            out = fn(params, dev_inputs)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+        return (time.perf_counter() - t0) / 5
+
+    g = timed(greedy)
+    b = timed(beam5)
+    print(
+        json.dumps(
+            {
+                "metric": "bci_greedy_decode_tokens_per_sec",
+                "value": round(Bb * NEW / g, 2),
+                "unit": "new tokens/s/chip",
+                "vs_baseline": 1.0,
+                "beam5_sequences_per_sec": round(Bb * 5 / b, 2),
+                "batch": Bb,
+                "max_new_tokens": NEW,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if "--workload" in sys.argv and "bci" in sys.argv:
         main_bci()
+    elif "--workload" in sys.argv and "generate" in sys.argv:
+        main_generate()
     else:
         main()
