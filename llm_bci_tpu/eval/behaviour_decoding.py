@@ -23,8 +23,13 @@ def behaviour_decoding_eval(
     all_batches = []
 
     def probe(model, model_inputs, unused_inputs, outputs, **kwargs):
+        # outputs carry device arrays; pull the array leaves to host here.
         all_batches.append(
-            {k: v for k, v in outputs.items() if isinstance(v, np.ndarray)}
+            {
+                k: np.asarray(v)
+                for k, v in outputs.items()
+                if v is not None and hasattr(v, "shape") and getattr(v, "ndim", 0) > 0
+            }
         )
         return 0.0
 

@@ -161,8 +161,12 @@ def beam_search(
         cand_tokens = jnp.where(t_onehot[None, None, :], token[:, :, None], cand_tokens)
 
         # ---- finished set: insert EOS candidates, penalized at finish time.
+        # HF BeamSearchScorer.process skips EOS candidates ranked >= K among
+        # the sorted 2K (is_beam_token_worse_than_top_num_beams) — only the
+        # top-K slots may finish a hypothesis.
+        rank_ok = jnp.arange(2 * K)[None, :] < K
         pen = jnp.where(
-            is_eos & ~stopped[:, None],
+            is_eos & rank_ok & ~stopped[:, None],
             top_scores / (n_new ** length_penalty),
             NEG_INF,
         )                                                          # (B, 2K)
@@ -288,30 +292,31 @@ def diverse_beam_search(
             # live continuation: runner-up if best is EOS, else best.
             live_tok_g = jnp.where(is_eos1, top2_tok[:, 1], top2_tok[:, 0])
             live_score_g = jnp.where(is_eos1, top2_scores[:, 1], top2_scores[:, 0])
-            # candidate finished hyp: the EOS pick (only valid if best is EOS
-            # and the group hasn't finished).
+            # candidate finished hyp: the EOS pick (only while the group is
+            # still decoding). The group does NOT freeze here — HF group
+            # beam search (early_stopping=False) keeps decoding the
+            # runner-up path and may later replace the stored hypothesis.
             fin_cand_score = jnp.where(
                 is_eos1 & ~done[:, g],
                 top2_scores[:, 0] / (n_new ** length_penalty),
                 NEG_INF,
             )
-            # done groups keep emitting pad at frozen score.
+            # groups stopped by is_done keep emitting pad at frozen score.
             live_tok_g = jnp.where(done[:, g], pad_token_id, live_tok_g)
             live_score_g = jnp.where(done[:, g], live_scores[:, g], live_score_g)
             # HF counts the *selected* (live) token toward later groups' freq.
             freq = freq + jax.nn.one_hot(live_tok_g, V, dtype=freq.dtype) \
                 * (~done[:, g])[:, None].astype(freq.dtype)
             return freq, (live_tok_g.astype(jnp.int32), live_score_g,
-                          fin_cand_score, is_eos1 & ~done[:, g])
+                          fin_cand_score)
 
         freq0 = jnp.zeros((B, V), jnp.float32)
-        _, (tok_seq, score_seq, fin_cand, newly_done) = jax.lax.scan(
+        _, (tok_seq, score_seq, fin_cand) = jax.lax.scan(
             group_step, freq0, jnp.arange(G)
         )
         live_tok = tok_seq.T                                       # (B, G)
         new_live_scores = score_seq.T
         fin_cand = fin_cand.T                                      # (B, G)
-        newly_done = newly_done.T
 
         # Each group holds at most one finished hyp: replace if better.
         t_onehot = jax.nn.one_hot(t, max_new_tokens, dtype=bool)
@@ -321,7 +326,13 @@ def diverse_beam_search(
         better = fin_cand > fin_scores
         fin_scores = jnp.where(better, fin_cand, fin_scores)
         fin_tokens = jnp.where(better[:, :, None], eos_tokens, fin_tokens)
-        done = done | newly_done
+
+        # HF BeamHypotheses.is_done (early_stopping=False): the group stops
+        # only when its stored hypothesis can no longer be beaten by the
+        # best attainable penalized score of its live beam.
+        has_fin = fin_scores > NEG_INF / 2
+        best_possible = new_live_scores / (n_new ** length_penalty)
+        done = done | (has_fin & (fin_scores >= best_possible))
 
         live_scores = new_live_scores
         live_tokens = jnp.where(t_onehot[None, None, :], live_tok[:, :, None], live_tokens)

@@ -41,11 +41,7 @@ from llm_bci_tpu.models.masker import MaskerConfig, apply_maskers
 from llm_bci_tpu.ops.attention import dot_product_attention, make_attention_mask
 from llm_bci_tpu.ops.context import create_context_mask
 from llm_bci_tpu.ops.ctc import ctc_loss
-
-# "auto" flash-attention crossover: XLA SDPA wins below this sequence
-# length (measured: flash loses at the stacked-CTC T'=121, wins at mlm
-# T=1024 with batch >= 32 — memory/perf notes r1; re-measured r2).
-_FLASH_AUTO_MIN_T = 512
+from llm_bci_tpu.ops.flash_attention import FLASH_AUTO_MIN_T as _FLASH_AUTO_MIN_T
 from llm_bci_tpu.ops.losses import mse_loss, poisson_nll_loss
 from llm_bci_tpu.ops.rotary import apply_rotary_pos_emb, rope_cos_sin
 from llm_bci_tpu.ops.smoothing import gaussian_kernel, smooth_spikes

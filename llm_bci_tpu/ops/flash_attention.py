@@ -41,6 +41,12 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 _INTERPRET = False  # set True to run kernels in interpreter mode (tests/CPU)
 
+# "auto" dispatch crossover: XLA's fused SDPA wins below this sequence
+# length (measured: flash loses at the stacked-CTC T'=121, wins 1.8x at
+# mlm T=1024 with batch >= 32). Single source of truth — both the NDT1
+# per-layer "auto" mode and flash_attention_supported() read it.
+FLASH_AUTO_MIN_T = 512
+
 
 def set_interpret_mode(value: bool) -> None:
     global _INTERPRET
@@ -476,7 +482,9 @@ def flash_attention_supported(q, k, v, mask, is_causal) -> bool:
     B, T, H, D = q.shape
     if k.shape[1] != T or v.shape[1] != T:
         return False        # self-attention lengths only
-    return T >= 512
+    if k.shape[2] != H or v.shape[2] != H:
+        return False        # no GQA here: the kernel reshapes k/v with q's H
+    return T >= FLASH_AUTO_MIN_T
 
 
 def flash_attention(q, k, v, mask=None, is_causal=False):

@@ -30,14 +30,74 @@ def save_train_state(directory: str, step: int, state: Any) -> None:
     mgr.wait_until_finished()
 
 
+def _overlay(target: Any, restored: Any) -> Any:
+    """Match ``restored`` leaves onto ``target`` by tree path: present leaves
+    take the saved value cast to the target's dtype, absent/None leaves keep
+    the live target value. Makes resume tolerant of schema evolution — e.g.
+    checkpoints written before TrainState grew its ``rng`` leaf, or before
+    frozen LLM params moved to compute-dtype storage."""
+    import numpy as np
+
+    def keystr(path):
+        # Canonical path: GetAttrKey(.name) / DictKey(.key) / SequenceKey(.idx)
+        # all map to their plain name, so a dataclass field and the dict key
+        # it serializes to compare equal.
+        parts = []
+        for e in path:
+            for attr in ("name", "key", "idx"):
+                if hasattr(e, attr):
+                    parts.append(str(getattr(e, attr)))
+                    break
+            else:
+                parts.append(str(e))
+        return "/".join(parts)
+
+    saved = {
+        keystr(p): v
+        for p, v in jax.tree_util.tree_flatten_with_path(restored)[0]
+        if v is not None
+    }
+    filled: list = []
+
+    def leaf(path, t):
+        v = saved.get(keystr(path))
+        if v is None:
+            filled.append(keystr(path))
+            return t
+        arr = np.asarray(v)
+        if hasattr(t, "dtype") and arr.dtype != t.dtype:
+            arr = arr.astype(t.dtype)
+        return arr
+
+    out = jax.tree_util.tree_map_with_path(leaf, target)
+    if filled:
+        print(
+            "restore_train_state: checkpoint predates parts of the current "
+            f"TrainState schema; kept live values for {filled[:5]}"
+            f"{'...' if len(filled) > 5 else ''}",
+            flush=True,
+        )
+    return out
+
+
 def restore_train_state(directory: str, target: Any, step: Optional[int] = None) -> Any:
     """Restore into the structure/shardings of ``target``; latest step if
-    ``step`` is None. Returns (step, state)."""
+    ``step`` is None. Returns (step, state).
+
+    Tolerant of older checkpoint schemas: leaves are matched by tree path;
+    matching leaves restore (dtype-cast to the live state), missing ones
+    keep their live values."""
     import orbax.checkpoint as ocp
 
     mgr = _manager(directory)
     step = mgr.latest_step() if step is None else step
     if step is None:
         raise FileNotFoundError(f"No checkpoints in {directory}")
-    restored = mgr.restore(step, args=ocp.args.StandardRestore(jax.device_get(target)))
-    return step, restored
+    host_target = jax.device_get(target)
+    try:
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(host_target))
+    except Exception:
+        # Hard structure mismatch: fall back to the as-saved tree (nested
+        # dicts share the same keystr paths for matching leaves).
+        restored = mgr.restore(step)
+    return step, _overlay(host_target, restored)

@@ -473,14 +473,29 @@ class Trainer:
                     int(self.config.seed) + 7
                 )
             key = id(dataloader)
-            cache = self._device_batch_cache.get(key)
-            if cache is None:
-                cache = []
+            entry = self._device_batch_cache.get(key)
+            if entry is None or not entry["complete"]:
+                # Only a pass that ran to exhaustion defines the frozen batch
+                # composition; a pass cut short (max_steps mid-epoch, early
+                # break) leaves an incomplete entry that is rebuilt — noisily,
+                # so the promised zero-host-traffic replay isn't silently off.
+                if entry is not None:
+                    self.print_v(
+                        "cache_device_batches: previous pass ended before the "
+                        f"epoch did ({len(entry['items'])} batches cached); "
+                        "rebuilding — the cache engages after the first FULL "
+                        "pass over the dataloader.",
+                        verbosity=1,
+                    )
+                items: list = []
+                entry = {"items": items, "complete": False}
+                self._device_batch_cache[key] = entry
                 for item in self._prefetch_stream(dataloader, depth):
-                    cache.append(item)
+                    items.append(item)
                     yield item
-                self._device_batch_cache[key] = cache
+                entry["complete"] = True
                 return
+            cache = entry["items"]
             order = np.arange(len(cache))
             if getattr(dataloader, "shuffle", False):
                 self._cache_order_rng.shuffle(order)
@@ -555,17 +570,18 @@ class Trainer:
             test_loss.append(outputs["loss"])
             test_examples.append(outputs["n_examples"])
             for name, fn in metric_fns.items():
-                out_np = {
-                    k: (np.asarray(v) if v is not None else None)
-                    for k, v in outputs.items()
-                }
+                # Metric fns receive the outputs dict with DEVICE arrays (the
+                # reference hands CUDA tensors the same way): a fn converts
+                # only what it needs — e.g. a device-side argmax then one
+                # small np.asarray — instead of the trainer shipping every
+                # output (incl. full (B, T, V) logits) to host per step.
                 test_metrics[name].append(
                     float(
                         fn(
                             self.model_handle,
                             model_inputs,
                             unused_inputs,
-                            out_np,
+                            outputs,
                             **self.metric_kwargs,
                         )
                     )
@@ -635,16 +651,13 @@ class Trainer:
                     )
 
                 for name, fn in self.metric_fns.items():
-                    out_np = {
-                        k: (np.asarray(v) if v is not None else None)
-                        for k, v in outputs.items()
-                    }
+                    # Device arrays, not host copies — see evaluate().
                     val = float(
                         fn(
                             self.model_handle,
                             model_inputs,
                             unused_inputs,
-                            out_np,
+                            outputs,
                             **self.metric_kwargs,
                         )
                     )

@@ -211,3 +211,39 @@ def test_trainer_rng_impl_rbg(tmp_path):
         assert np.isfinite(loss)
     finally:
         jax.config.update("jax_default_prng_impl", prev)
+
+
+def test_resume_from_old_schema_checkpoint(tmp_path):
+    """Checkpoints written before TrainState grew a leaf (e.g. ``rng``) must
+    still resume: matching leaves restore, missing ones keep live values
+    (structure-tolerant graft in restore_train_state)."""
+    import dataclasses
+    import os
+
+    import jax
+
+    from llm_bci_tpu.training import Trainer
+    from llm_bci_tpu.training.checkpoint import restore_train_state, save_train_state
+
+    cfg = base_config(tmp_path)
+    trainer = Trainer(cfg, dataset=synth_dataset())
+    trainer.train()
+
+    # Simulate the old schema: save a state with NO rng leaf (None = empty
+    # subtree under JAX pytree flattening, as before the rng field existed).
+    old_style = dataclasses.replace(trainer.state, rng=None)
+    ckpt_dir = os.path.join(str(tmp_path), "old_state")
+    save_train_state(ckpt_dir, 2, old_style)
+
+    trainer2 = Trainer(cfg, dataset=synth_dataset())
+    live_rng = np.asarray(trainer2.state.rng).copy()
+    step, state = restore_train_state(ckpt_dir, trainer2.state)
+    assert step == 2
+    # params restored from the checkpoint...
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(trainer.state.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    # ...and the missing rng leaf kept its live value instead of crashing.
+    np.testing.assert_array_equal(np.asarray(state.rng), live_rng)
