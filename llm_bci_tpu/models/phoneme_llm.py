@@ -159,6 +159,7 @@ class PhonemeLLM(nn.Module):
         input_ids, attention_mask, input_split, phoneme_probs, phonemes_mask,
         max_new_tokens: int = 20, num_beams: int = 1,
         pad_token_id: int = 0, eos_token_id: int = 2, length_penalty: float = 1.0,
+        num_return_sequences: int = 1,
     ) -> jax.Array:
         from llm_bci_tpu.models.generation import beam_search, greedy_decode
 
@@ -179,10 +180,20 @@ class PhonemeLLM(nn.Module):
                 self.llm.init_cache(B, P + max_new_tokens),
                 max_new_tokens, eos_token_id, pad_token_id,
             )
-        return beam_search(
+        result = beam_search(
             decode_step, embed_tokens, inputs_embeds, attn_mask,
             self.llm.init_cache(B * num_beams, P + max_new_tokens),
             max_new_tokens, num_beams, eos_token_id, pad_token_id, length_penalty,
+        )
+        # Match BCI.generate's surface: best sequence by default, the full
+        # sorted BeamResult when the caller asks for several hypotheses.
+        if num_return_sequences <= 1:
+            return result.sequences[:, 0]
+        from llm_bci_tpu.models.generation import BeamResult
+
+        return BeamResult(
+            sequences=result.sequences[:, :num_return_sequences],
+            scores=result.scores[:, :num_return_sequences],
         )
 
     def trainable_mask(self, params: Dict) -> Dict:
