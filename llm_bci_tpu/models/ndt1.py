@@ -51,7 +51,9 @@ DEFAULT_CONFIG = "configs/ndt1.yaml"
 
 ACT2FN: Dict[str, Callable] = {
     "softsign": nn.soft_sign,
-    "gelu": nn.gelu,
+    # exact (erf) gelu: torch nn.GELU / transformers ACT2FN["gelu"] default,
+    # which the reference uses everywhere; flax's default is the tanh approx.
+    "gelu": lambda x: nn.gelu(x, approximate=False),
     "relu": nn.relu,
     "silu": nn.silu,
     "tanh": jnp.tanh,

@@ -86,11 +86,17 @@ def random_patch_masking(
 
 
 def sincos_position_encoding(P: int, d_model: int) -> np.ndarray:
+    """HF PatchTST 'sincos' table incl. its normalization
+    (``PatchTSTPositionalEncoding._init_pe``: the raw sin/cos table is
+    mean-centered and scaled by ``1 / (std * 10)`` — the reference's encoder
+    adds THIS, not the textbook table)."""
     pos = np.arange(P, dtype=np.float64)[:, None]
     div = np.exp(np.arange(0, d_model, 2, dtype=np.float64) * (-np.log(10000.0) / d_model))
     pe = np.zeros((P, d_model), np.float32)
     pe[:, 0::2] = np.sin(pos * div)
     pe[:, 1::2] = np.cos(pos * div)
+    pe = pe - pe.mean()
+    pe = pe / (pe.std(ddof=1) * 10)   # torch.std is unbiased (ddof=1)
     return pe
 
 
