@@ -603,10 +603,17 @@ class Trainer:
         config = self.config
         self.print_v(f"Starting run {config.savestring}", verbosity=0)
 
-        global_step = 1
+        # After an explicit resume_from(), continue the step count where the
+        # checkpoint left off (eval/save cadence and max_steps then refer to
+        # TOTAL steps). A fresh train() call always starts at 1 — repeated
+        # train() calls on one Trainer (warm re-runs, benchmarks) keep their
+        # established semantics.
+        global_step = getattr(self, "_resume_step", 0) + 1
+        self._resume_step = 0
         train_loss, train_examples = [], []
         train_metrics = {name: [] for name in self.metric_fns}
         max_steps = config.training.get("max_steps")
+        halt_on_nonfinite = bool(config.training.get("halt_on_nonfinite", False))
 
         # Throughput observability (reference has none, SURVEY.md §5):
         # wall-clock per window of steps → samples/sec logged at eval points.
@@ -721,6 +728,22 @@ class Trainer:
                     train_loss, train_examples = [], []
                     train_metrics = {name: [] for name in self.metric_fns}
 
+                    # Failure detection (SURVEY.md §5: the reference has
+                    # none): a diverged run burns accelerator time silently.
+                    # The check rides the eval boundary — the losses are
+                    # already on host here, so the hot loop stays async.
+                    if halt_on_nonfinite and not (
+                        np.isfinite(train_avg_loss) and np.isfinite(test_avg_loss)
+                    ):
+                        if self.writer is not None:
+                            self.writer.flush()
+                        raise FloatingPointError(
+                            f"Non-finite loss at step {global_step} "
+                            f"(train={train_avg_loss}, test={test_avg_loss}); "
+                            "halting. Resume from the last finite checkpoint "
+                            "with training.resume=true."
+                        )
+
                 if (
                     config.training.save_every
                     and global_step % config.training.save_every == 0
@@ -766,11 +789,14 @@ class Trainer:
 
     def resume_from(self, directory: Optional[str] = None) -> int:
         """Restore the full train state (params+optimizer+step); returns the
-        restored step. This is the mid-run resume the reference lacks."""
+        restored step. This is the mid-run resume the reference lacks.
+        The next ``train()`` call continues the global step count from the
+        restored step."""
         from llm_bci_tpu.training.checkpoint import restore_train_state
 
         directory = directory or os.path.join(self.checkpoint_dir, "train_state")
         step, state = restore_train_state(directory, self.state)
+        self._resume_step = int(step)
         self.state = TrainState(
             step=jnp.asarray(state.step),
             params=jax.device_put(state.params, self.param_shardings),

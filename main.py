@@ -233,6 +233,15 @@ def main(args):
         metric_fns=metric_fns or None,
         eval_metric_fns=eval_metric_fns or None,
     )
+    # Crash/preemption recovery: `-k training.resume=true` continues from the
+    # newest full train-state checkpoint when one exists, else starts fresh —
+    # safe to leave on in an auto-restarting launcher.
+    if bool(trainer.config.training.get("resume", False)):
+        try:
+            step = trainer.resume_from()
+            trainer.print_v(f"Resumed training from step {step}", verbosity=0)
+        except FileNotFoundError:
+            trainer.print_v("No checkpoint to resume from; starting fresh", verbosity=0)
     trainer.train()
     return trainer
 

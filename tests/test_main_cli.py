@@ -123,3 +123,48 @@ def test_main_itransformer_stat_behaviour(tmp_path):
     assert trainer.model.n_labels == 2
     loss, metrics = trainer.evaluate()
     assert "accuracy" in metrics and 0.0 <= metrics["accuracy"] <= 1.0
+
+
+def test_main_cli_resume_continues_step_count(tmp_path):
+    """`-k training.resume=true` continues from the newest train-state
+    checkpoint: a second invocation with a higher max_steps picks up at the
+    restored step instead of restarting at 1."""
+    import yaml
+
+    write_file_dataset(str(tmp_path / "ds.pkl"))
+    cfg = {
+        "savestring": "cli_resume",
+        "verbosity": 3,
+        "dirs": {"checkpoint_dir": str(tmp_path / "ckpt"), "log_dir": None},
+        "training": {"num_epochs": 100, "train_batch_size": 8, "test_batch_size": 8,
+                     "max_steps": 2, "save_every": 2},
+        "model": {
+            "model_class": "NDT1",
+            "encoder": {
+                "masker": {"neuron": {"active": True, "mode": "random", "ratio": 0.3}},
+                "embedder": {"n_channels": 1, "max_F": 14, "input_dim": 8, "stack": {"active": False}},
+                "transformer": {"n_layers": 1, "hidden_size": 8, "n_heads": 2, "inter_size": 8},
+            },
+        },
+        "data": {"dataset_class": "base", "data_load": "file",
+                 "data_dir": str(tmp_path), "data_file": "ds.pkl"},
+        "method": {
+            "model_kwargs": {"method_name": "mlm", "loss": "poisson_nll", "log_input": True},
+            "dataloader_kwargs": {"pad_dict": {
+                "spikes": {"dim": 0, "side": "left", "value": 0, "truncate": None, "min_length": None},
+                "spikes_mask": {"dim": 0, "side": "left", "value": 0, "truncate": None, "min_length": None},
+                "spikes_timestamp": {"dim": 0, "side": "left", "value": 0, "truncate": None, "min_length": None},
+            }},
+        },
+        "optimizer": {"lr": 1e-3, "scheduler": "cosine"},
+    }
+    cfg_path = str(tmp_path / "cfg.yaml")
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+
+    t1 = run_main(cfg_path, {})
+    assert int(np.asarray(t1.state.step)) == 2
+
+    t2 = run_main(cfg_path, {"training.resume": "true", "training.max_steps": "4"})
+    # resumed at step 2, trained 2 more steps (not 4 fresh ones)
+    assert int(np.asarray(t2.state.step)) == 4
+    assert os.path.exists(str(tmp_path / "ckpt" / "cli_resume" / "STEP4"))

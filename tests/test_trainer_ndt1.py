@@ -247,3 +247,20 @@ def test_resume_from_old_schema_checkpoint(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
     # ...and the missing rng leaf kept its live value instead of crashing.
     np.testing.assert_array_equal(np.asarray(state.rng), live_rng)
+
+
+def test_halt_on_nonfinite_loss(tmp_path):
+    """training.halt_on_nonfinite raises at the eval boundary when the loss
+    diverges (failure detection the reference lacks, SURVEY.md §5)."""
+    import pytest
+
+    from llm_bci_tpu.training import Trainer
+
+    cfg = base_config(tmp_path)
+    cfg["training"]["max_steps"] = 4
+    cfg["training"]["eval_every"] = 2
+    cfg["training"]["halt_on_nonfinite"] = True
+    cfg["optimizer"]["lr"] = 1e12          # guaranteed divergence
+    trainer = Trainer(cfg, dataset=synth_dataset())
+    with pytest.raises(FloatingPointError, match="Non-finite loss"):
+        trainer.train()
