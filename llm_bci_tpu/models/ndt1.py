@@ -5,9 +5,10 @@ mlm / autoregressive SSL and CTC phoneme decoding), redesigned for JAX/XLA:
 
 * flax.linen module tree; parameters are a pytree sharded via
   :mod:`llm_bci_tpu.parallel` partition rules (FSDP instead of ZeRO).
-* ``nn.Unfold`` temporal stacking (reference ``models/ndt1.py:133-142``)
-  becomes a static strided gather + reshape — a pure layout op XLA folds
-  into the following projection matmul.
+* ``nn.Unfold`` temporal stacking + projection (reference
+  ``models/ndt1.py:133-142``) becomes ONE strided conv
+  (:class:`StackProjection`) — no frame materialization, conv-transpose
+  backward.
 * per-day ``adapt`` embedding (reference ``models/ndt1.py:123-130``: a python
   loop over per-day ``nn.Linear``) becomes one batched einsum over a stacked
   ``(n_days, n_channels, input_dim)`` weight — no host loop, MXU-friendly.
@@ -17,10 +18,10 @@ mlm / autoregressive SSL and CTC phoneme decoding), redesigned for JAX/XLA:
 * stochastic pieces (white/offset noise ``models/ndt1.py:99-104``, maskers,
   dropout) draw from named flax RNG streams — deterministic eval by default.
 
-Attention-probability dropout (``models/ndt1.py:289``) is applied on the
-XLA path with torch SDPA semantics. Deliberate deviation: the *flash*
-(Pallas) path folds it into output dropout so the kernel stays a single
-fused op; recorded per SURVEY.md §7 "hard parts (d)".
+Attention-probability dropout (``models/ndt1.py:289``) is applied with
+torch SDPA semantics on BOTH paths: the XLA path materializes the probs,
+the flash (Pallas) path evaluates a counter-based keep mask inside the
+kernel (no (B, H, T, T) tensors ever exist).
 """
 from __future__ import annotations
 
@@ -372,15 +373,21 @@ class NeuralAttention(nn.Module):
         if self.use_flash and attn_mask is None:
             from llm_bci_tpu.ops.flash_attention import banded_flash_attention
 
+            # Attention-prob dropout runs INSIDE the kernel (counter-based
+            # mask, torch SDPA semantics — reference models/ndt1.py:289);
+            # no (B, H, T, T) probs/keep tensors are materialized.
             out = banded_flash_attention(
                 q, k, v, key_valid,
                 context_forward=self.context_forward,
                 context_backward=self.context_backward,
+                dropout_rate=self.dropout if training else 0.0,
+                dropout_rng=self.make_rng("dropout")
+                if training and self.dropout > 0.0
+                else None,
             )
         else:
             # Attention-probability dropout with torch SDPA semantics
             # (reference models/ndt1.py:289: dropout_p = dropout in training).
-            # The flash path keeps the documented fold-into-output deviation.
             out = dot_product_attention(
                 q, k, v, mask=attn_mask,
                 dropout_rate=self.dropout if training else 0.0,

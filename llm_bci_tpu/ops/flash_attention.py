@@ -62,6 +62,29 @@ def _compiler_params(semantics):
         return None
 
 
+def _keep_mask(seed_u32, bh, q_pos, k_pos, drop_p: float):
+    """Deterministic per-(batch·head, q_pos, k_pos, seed) keep mask for
+    attention-probability dropout, as a murmur3-style integer mixer on the
+    absolute positions. Counter-based (not stateful), so the backward
+    recompute regenerates the identical mask from the same coordinates —
+    and it runs under the CPU interpreter, where ``pltpu.prng_*`` has no
+    lowering. ~8 VPU ops per element; negligible against the MXU work at
+    banded shapes."""
+    x = (
+        q_pos.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+        ^ k_pos.astype(jnp.uint32) * jnp.uint32(0x85EBCA77)
+    )
+    x = x ^ (bh.astype(jnp.uint32) * jnp.uint32(0xC2B2AE3D))
+    x = x + seed_u32
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    thresh = jnp.uint32(min(int(drop_p * 4294967296.0), 4294967295))
+    return x >= thresh
+
+
 def _band_kblocks(bq: int, bk: int, fwd: int, bwd: int, nK: int) -> int:
     """Number of k blocks any q block can touch within the band."""
     span = bwd + fwd + bq  # key positions reachable from a q block
@@ -78,6 +101,7 @@ def _band_qblocks(bq: int, bk: int, fwd: int, bwd: int, nQ: int) -> int:
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(
+    seed_ref,     # SMEM (1,) int32 — dropout seed (unused when drop_p == 0)
     q_ref,        # (1, Bq, D)
     k_ref,        # (1, Bk, D)
     v_ref,        # (1, Bk, D)
@@ -95,7 +119,9 @@ def _fwd_kernel(
     n_kb: int,
     num_k_blocks: int,
     scale: float,
+    drop_p: float,
 ):
+    bh = pl.program_id(0)
     qi = pl.program_id(1)
     kj = pl.program_id(2)
     Bq, D = q_ref.shape[1], q_ref.shape[2]
@@ -135,9 +161,18 @@ def _fwd_kernel(
         alpha = jnp.where(m_prev <= NEG_INF, 0.0, alpha)
         p = jnp.exp(s - m_new[:, None])
         p = jnp.where(mask, p, 0.0)
+        # l accumulates the UNdropped probs (the softmax normalizer is not
+        # affected by dropout in torch-SDPA semantics); only the value
+        # accumulation sees the keep/(1-p) scaling.
         l_new = l_prev * alpha + jnp.sum(p, axis=1)
+        p_acc = p
+        if drop_p > 0.0:
+            keep = _keep_mask(
+                jnp.asarray(seed_ref[0], jnp.uint32), bh, q_pos, k_pos, drop_p,
+            )
+            p_acc = p * keep.astype(p.dtype) / (1.0 - drop_p)
         acc_ref[...] = acc_ref[...] * alpha[:, None] + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            p_acc.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         m_ref[...] = jnp.broadcast_to(m_new[:, None], m_ref.shape)
@@ -152,7 +187,7 @@ def _fwd_kernel(
         lse_ref[0, 0] = jnp.where(l_i > 0, m_i + jnp.log(l_safe), NEG_INF)
 
 
-def _flash_fwd(q, k, v, key_valid, fwd, bwd, scale, block_q, block_k):
+def _flash_fwd(q, k, v, key_valid, seed, fwd, bwd, scale, block_q, block_k, drop_p):
     BH, T, D = q.shape
     nQ = T // block_q
     nK = T // block_k
@@ -164,12 +199,13 @@ def _flash_fwd(q, k, v, key_valid, fwd, bwd, scale, block_q, block_k):
 
     kernel = functools.partial(
         _fwd_kernel, fwd=fwd, bwd=bwd, block_q=block_q, block_k=block_k,
-        n_kb=n_kb, num_k_blocks=nK, scale=scale,
+        n_kb=n_kb, num_k_blocks=nK, scale=scale, drop_p=drop_p,
     )
     out, lse = pl.pallas_call(
         kernel,
         grid=(BH, nQ, n_kb),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, block_q, D), lambda b, qi, kj: (b, qi, 0)),
             pl.BlockSpec((1, block_k, D), kidx),
             pl.BlockSpec((1, block_k, D), kidx),
@@ -190,7 +226,7 @@ def _flash_fwd(q, k, v, key_valid, fwd, bwd, scale, block_q, block_k):
         ],
         compiler_params=_compiler_params(("parallel", "parallel", "arbitrary")),
         interpret=_INTERPRET,
-    )(q, k, v, key_valid)
+    )(seed, q, k, v, key_valid)
     return out, lse
 
 
@@ -199,11 +235,12 @@ def _flash_fwd(q, k, v, key_valid, fwd, bwd, scale, block_q, block_k):
 # ---------------------------------------------------------------------------
 
 def _bwd_dq_kernel(
-    q_ref, k_ref, v_ref, valid_ref, do_ref, lse_ref, delta_ref,
+    seed_ref, q_ref, k_ref, v_ref, valid_ref, do_ref, lse_ref, delta_ref,
     dq_ref, dq_acc,
     *, fwd: int, bwd: int, block_q: int, block_k: int,
-    n_kb: int, num_k_blocks: int, scale: float,
+    n_kb: int, num_k_blocks: int, scale: float, drop_p: float,
 ):
+    bh = pl.program_id(0)
     qi = pl.program_id(1)
     kj = pl.program_id(2)
     Bq, D = q_ref.shape[1], q_ref.shape[2]
@@ -236,6 +273,13 @@ def _bwd_dq_kernel(
             do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if drop_p > 0.0:
+            # dP = D ⊙ (dO Vᵀ); delta = Σ_j P D dp is rowsum(do·out), already
+            # dropout-aware since out itself came from the dropped probs.
+            keep = _keep_mask(
+                jnp.asarray(seed_ref[0], jnp.uint32), bh, q_pos, k_pos, drop_p,
+            )
+            dp = dp * keep.astype(dp.dtype) / (1.0 - drop_p)
         ds = p * (dp - delta[:, None])
         dq_acc[...] += jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
@@ -248,11 +292,12 @@ def _bwd_dq_kernel(
 
 
 def _bwd_dkv_kernel(
-    q_ref, k_ref, v_ref, valid_ref, do_ref, lse_ref, delta_ref,
+    seed_ref, q_ref, k_ref, v_ref, valid_ref, do_ref, lse_ref, delta_ref,
     dk_ref, dv_ref, dk_acc, dv_acc,
     *, fwd: int, bwd: int, block_q: int, block_k: int,
-    n_qb: int, num_q_blocks: int, scale: float,
+    n_qb: int, num_q_blocks: int, scale: float, drop_p: float,
 ):
+    bh = pl.program_id(0)
     ki = pl.program_id(1)
     qj = pl.program_id(2)
     Bk, D = k_ref.shape[1], k_ref.shape[2]
@@ -283,12 +328,22 @@ def _bwd_dkv_kernel(
         k_pos = ki * Bk + jax.lax.broadcasted_iota(jnp.int32, (Bq, Bk), 1)
         mask = (k_pos >= q_pos - bwd) & (k_pos <= q_pos + fwd) & (valid[None, :] != 0)
         p = jnp.where(mask, jnp.exp(s - lse[:, None]), 0.0)
-        dv_acc[...] += jax.lax.dot_general(
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        p_v = p
         dp = jax.lax.dot_general(
             do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if drop_p > 0.0:
+            # Same counter-based mask as the forward: dV sees the dropped
+            # probs, dP is masked before the softmax backward.
+            keep = _keep_mask(
+                jnp.asarray(seed_ref[0], jnp.uint32), bh, q_pos, k_pos, drop_p,
+            )
+            d = keep.astype(p.dtype) / (1.0 - drop_p)
+            p_v = p * d
+            dp = dp * d
+        dv_acc[...] += jax.lax.dot_general(
+            p_v.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         ds = (p * (dp - delta[:, None])).astype(q.dtype)
@@ -302,7 +357,8 @@ def _bwd_dkv_kernel(
         dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
-def _flash_bwd(q, k, v, key_valid, out, lse, do, fwd, bwd, scale, block_q, block_k):
+def _flash_bwd(q, k, v, key_valid, seed, out, lse, do, fwd, bwd, scale, block_q,
+               block_k, drop_p):
     BH, T, D = q.shape
     nQ = T // block_q
     nK = T // block_k
@@ -321,10 +377,11 @@ def _flash_bwd(q, k, v, key_valid, out, lse, do, fwd, bwd, scale, block_q, block
     dq = pl.pallas_call(
         functools.partial(
             _bwd_dq_kernel, fwd=fwd, bwd=bwd, block_q=block_q, block_k=block_k,
-            n_kb=n_kb, num_k_blocks=nK, scale=scale,
+            n_kb=n_kb, num_k_blocks=nK, scale=scale, drop_p=drop_p,
         ),
         grid=(BH, nQ, n_kb),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, block_q, D), lambda b, qi, kj: (b, qi, 0)),
             pl.BlockSpec((1, block_k, D), kidx),
             pl.BlockSpec((1, block_k, D), kidx),
@@ -338,7 +395,7 @@ def _flash_bwd(q, k, v, key_valid, out, lse, do, fwd, bwd, scale, block_q, block
         scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
         compiler_params=_compiler_params(("parallel", "parallel", "arbitrary")),
         interpret=_INTERPRET,
-    )(q, k, v, key_valid, do, lse, delta)
+    )(seed, q, k, v, key_valid, do, lse, delta)
 
     def qidx(b, ki, qj):
         lo = jnp.maximum((ki * block_k - fwd) // block_q, 0)
@@ -351,10 +408,11 @@ def _flash_bwd(q, k, v, key_valid, out, lse, do, fwd, bwd, scale, block_q, block
     dk, dv = pl.pallas_call(
         functools.partial(
             _bwd_dkv_kernel, fwd=fwd, bwd=bwd, block_q=block_q, block_k=block_k,
-            n_qb=n_qb, num_q_blocks=nQ, scale=scale,
+            n_qb=n_qb, num_q_blocks=nQ, scale=scale, drop_p=drop_p,
         ),
         grid=(BH, nK, n_qb),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, block_q, D), qidx),
             pl.BlockSpec((1, block_k, D), lambda b, ki, qj: (b, ki, 0)),
             pl.BlockSpec((1, block_k, D), lambda b, ki, qj: (b, ki, 0)),
@@ -377,7 +435,7 @@ def _flash_bwd(q, k, v, key_valid, out, lse, do, fwd, bwd, scale, block_q, block
         ],
         compiler_params=_compiler_params(("parallel", "parallel", "arbitrary")),
         interpret=_INTERPRET,
-    )(q, k, v, key_valid, do, lse, delta)
+    )(seed, q, k, v, key_valid, do, lse, delta)
     return dq, dk, dv
 
 
@@ -385,23 +443,30 @@ def _flash_bwd(q, k, v, key_valid, out, lse, do, fwd, bwd, scale, block_q, block
 # custom_vjp wrapper over padded (BH, T, D) layout
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def _flash_core(q, k, v, key_valid, fwd, bwd, scale, block_q, block_k):
-    out, _ = _flash_fwd(q, k, v, key_valid, fwd, bwd, scale, block_q, block_k)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _flash_core(q, k, v, key_valid, seed, fwd, bwd, scale, block_q, block_k,
+                drop_p):
+    out, _ = _flash_fwd(
+        q, k, v, key_valid, seed, fwd, bwd, scale, block_q, block_k, drop_p
+    )
     return out
 
 
-def _flash_core_fwd(q, k, v, key_valid, fwd, bwd, scale, block_q, block_k):
-    out, lse = _flash_fwd(q, k, v, key_valid, fwd, bwd, scale, block_q, block_k)
-    return out, (q, k, v, key_valid, out, lse)
-
-
-def _flash_core_bwd(fwd, bwd, scale, block_q, block_k, res, do):
-    q, k, v, key_valid, out, lse = res
-    dq, dk, dv = _flash_bwd(
-        q, k, v, key_valid, out, lse, do, fwd, bwd, scale, block_q, block_k
+def _flash_core_fwd(q, k, v, key_valid, seed, fwd, bwd, scale, block_q,
+                    block_k, drop_p):
+    out, lse = _flash_fwd(
+        q, k, v, key_valid, seed, fwd, bwd, scale, block_q, block_k, drop_p
     )
-    return dq, dk, dv, None
+    return out, (q, k, v, key_valid, seed, out, lse)
+
+
+def _flash_core_bwd(fwd, bwd, scale, block_q, block_k, drop_p, res, do):
+    q, k, v, key_valid, seed, out, lse = res
+    dq, dk, dv = _flash_bwd(
+        q, k, v, key_valid, seed, out, lse, do, fwd, bwd, scale, block_q,
+        block_k, drop_p,
+    )
+    return dq, dk, dv, None, None
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
@@ -427,10 +492,17 @@ def banded_flash_attention(
     context_backward: Optional[int] = None,
     block_q: int = 512,
     block_k: int = 512,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Flash attention with a static banded window and dynamic key padding.
 
     Rows with no valid key in their band return 0.
+
+    ``dropout_rate`` > 0 with a ``dropout_rng`` applies torch-SDPA-semantics
+    attention-probability dropout INSIDE the kernel (counter-based mask on
+    absolute positions, regenerated exactly in the backward recompute) —
+    the (B, H, T, T) probability/keep-mask tensors never exist in HBM.
 
     Default blocks: 512 measured fastest across T=512..1024 on v5e
     (fwd+bwd, B=64 H=8 D=128: 21.7 ms vs 36.3 ms at block 128 and
@@ -440,6 +512,14 @@ def banded_flash_attention(
     B, T, H, D = q.shape
     fwd_w, bwd_w = _band_bounds(context_forward, context_backward, T)
     scale = 1.0 / float(np.sqrt(D))
+    drop_p = float(dropout_rate)
+    if drop_p > 0.0 and dropout_rng is not None:
+        seed = jax.random.randint(
+            dropout_rng, (1,), 0, np.iinfo(np.int32).max, dtype=jnp.int32
+        )
+    else:
+        drop_p = 0.0
+        seed = jnp.zeros((1,), jnp.int32)
 
     # TPU tiles are (8, 128): block sizes must be sublane-aligned, and the
     # sequence is padded to a block multiple (padded keys are invalid).
@@ -461,7 +541,9 @@ def banded_flash_attention(
     valid = jnp.pad(key_valid, ((0, 0), (0, Tp - T)))
     valid = jnp.repeat(valid, H, axis=0)[:, None, :]   # (B*H, 1, Tp)
 
-    out = _flash_core(qb, kb, vb, valid, fwd_w, bwd_w, scale, block_q, block_k)
+    out = _flash_core(
+        qb, kb, vb, valid, seed, fwd_w, bwd_w, scale, block_q, block_k, drop_p
+    )
     out = out[:, :T, :D].reshape(B, H, T, D).transpose(0, 2, 1, 3)
     return out.astype(q.dtype)
 
