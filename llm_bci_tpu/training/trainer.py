@@ -615,13 +615,29 @@ class Trainer:
         max_steps = config.training.get("max_steps")
         halt_on_nonfinite = bool(config.training.get("halt_on_nonfinite", False))
 
+        # Total step budget: max_steps, or num_epochs' worth of batches. A
+        # resumed run counts the restored steps against the SAME budget (and
+        # skips whole completed epochs below) — without this, every restart
+        # of an epoch-terminated run would train num_epochs more epochs.
+        steps_per_epoch = max(len(self.train_dataloader), 1)
+        n_epochs = int(config.training.num_epochs)
+        total_budget = int(max_steps) if max_steps else steps_per_epoch * n_epochs
+        if global_step > total_budget:
+            self.print_v(
+                f"Nothing to do: resumed at step {global_step - 1} with a "
+                f"budget of {total_budget} steps",
+                verbosity=1,
+            )
+            return
+        start_epoch = (global_step - 1) // steps_per_epoch + 1
+
         # Throughput observability (reference has none, SURVEY.md §5):
         # wall-clock per window of steps → samples/sec logged at eval points.
         profile_cfg = config.get("profile") or {}
         window_t0 = time.perf_counter()
         window_samples = 0
 
-        for epoch in range(1, int(config.training.num_epochs) + 1):
+        for epoch in range(min(start_epoch, n_epochs), n_epochs + 1):
             self.print_v(f"Epoch {epoch}", verbosity=1)
             for dev_batch, model_inputs, unused_inputs in self._prefetch(
                 self.train_dataloader
@@ -751,8 +767,11 @@ class Trainer:
                     self.save_checkpoint(f"STEP{global_step}")
 
                 global_step += 1
-                if max_steps and global_step > max_steps:
-                    self.print_v("Reached max_steps", verbosity=1)
+                if global_step > total_budget:
+                    self.print_v(
+                        "Reached max_steps" if max_steps else "Step budget done",
+                        verbosity=1,
+                    )
                     if self.writer is not None:
                         self.writer.flush()
                     return
