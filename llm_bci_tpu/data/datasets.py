@@ -185,7 +185,17 @@ def padded_array(
         pad_width[dim] = (grow, 0) if side == "left" else (0, grow)
         padded = np.pad(arr, pad_width, mode="constant", constant_values=value)
         slc = [slice(None)] * ndim
-        slc[dim] = slice(0, truncate)
+        # Deviation from the reference (which always keeps slice(0, truncate),
+        # data_utils/datasets.py:219): with side="left" the pad sits at the
+        # START, so truncation must keep the TAIL — otherwise truncated rows
+        # end-align differently from padded rows in the same batch. Latent in
+        # practice: freeze_pad_lengths pins truncate to the dataset max, so
+        # nothing is actually cut unless a config sets truncate explicitly.
+        slc[dim] = (
+            slice(padded.shape[dim] - truncate, None)
+            if side == "left" and padded.shape[dim] > truncate
+            else slice(0, truncate)
+        )
         out.append(padded[tuple(slc)])
     return np.stack(out, axis=0)
 

@@ -59,6 +59,9 @@ def get_split_dict(
                 idx = np.where(b_i == block)[0]
                 cat = np.concatenate(list(x_i[idx]), axis=0)
                 mu, sd = cat.mean(axis=0), cat.std(axis=0)
+                # Dead channels (no activity in the block) have sd == 0;
+                # dividing would inject NaN into every trial's features.
+                sd = np.where(sd == 0, 1.0, sd)
                 for i in idx:
                     x_i[i] = (x_i[i] - mu) / sd
         x.append(x_i)
@@ -107,7 +110,10 @@ def load_competition_data(
         for split in splits
     }
 
-    all_blocks = set(row["block"] for split in splits for row in dataset_dict[split])
+    # sorted: a raw set's iteration order is hash-table order, so block_idx
+    # assignments (and the learned block embeddings keyed by them) would not
+    # be stable across runs/builds.
+    all_blocks = sorted(set(row["block"] for split in splits for row in dataset_dict[split]))
     all_days = sorted(set(row["day"] for split in splits for row in dataset_dict[split]))
     if day_idxs is None:
         day_idxs = list(range(len(all_days)))
@@ -124,15 +130,24 @@ def load_competition_data(
         dataset_dict[split] = kept
 
     if zscore_day:
-        by_day = {
-            i: np.concatenate(
-                [row["spikes"] for row in dataset_dict["train"] if int(row["day_idx"]) == i],
-                axis=0,
-            )
-            for i in day_idxs
-        }
+        by_day = {}
+        for i in day_idxs:
+            rows = [
+                row["spikes"]
+                for row in dataset_dict["train"]
+                if int(row["day_idx"]) == i
+            ]
+            if not rows:
+                raise ValueError(
+                    f"zscore_day: day_idx {i} has no train rows to compute "
+                    "statistics from (day statistics come from the train "
+                    "split, reference data_utils/speechbci_dataset.py:119-125); "
+                    "drop it from day_idxs or disable zscore_day."
+                )
+            by_day[i] = np.concatenate(rows, axis=0)
         mean = {i: v.mean(axis=0) for i, v in by_day.items()}
-        std = {i: v.std(axis=0) for i, v in by_day.items()}
+        # Dead channels: sd == 0 would turn every trial's feature into NaN.
+        std = {i: np.where(v.std(axis=0) == 0, 1.0, v.std(axis=0)) for i, v in by_day.items()}
         for split in splits:
             for row in dataset_dict[split]:
                 i = int(row["day_idx"])
@@ -275,13 +290,23 @@ def create_llm_labels(
     sentence tokens carry the loss, −100 elsewhere (reference
     ``data_utils/speechbci_dataset.py:185-206``)."""
     part_a, part_b = prompt.split("#")
-    prompt_tokens_a = tokenizer(part_a, return_tensors="np")["input_ids"][0]
-    prompt_tokens_b = tokenizer(part_b, return_tensors="np")["input_ids"][0]
+    # add_special_tokens=False: the pieces are concatenated below, so a
+    # default-configured tokenizer (add_bos_token=True) would otherwise
+    # scatter BOS tokens mid-sequence — and into the loss-bearing labels.
+    # The appended eos STRING still maps to the eos id (AddedToken match).
+    prompt_tokens_a = tokenizer(
+        part_a, return_tensors="np", add_special_tokens=False
+    )["input_ids"][0]
+    prompt_tokens_b = tokenizer(
+        part_b, return_tensors="np", add_special_tokens=False
+    )["input_ids"][0]
 
     for split in dataset:
         for row in dataset[split]:
             sentence_tokens = tokenizer(
-                row["sentence"] + tokenizer.eos_token, return_tensors="np"
+                row["sentence"] + tokenizer.eos_token,
+                return_tensors="np",
+                add_special_tokens=False,
             )["input_ids"][0]
             row["input_ids"] = np.concatenate(
                 [prompt_tokens_a, prompt_tokens_b, sentence_tokens], axis=0

@@ -66,6 +66,10 @@ def co_smoothing_eval(
 
     model = trainer.model
     params = trainer.state.params
+    # Non-params collections (e.g. BatchNorm running stats) ride along like
+    # the trainer's own eval_step — a model with mutable state would
+    # otherwise fail with a missing-collection error here.
+    extra_vars = dict(getattr(trainer.state, "extra_vars", {}) or {})
     log_input = bool(getattr(model, "log_input", True))
 
     region_list = [str(r) for r in trainer.test_dataset[0]["neuron_regions"]]
@@ -117,7 +121,7 @@ def co_smoothing_eval(
 
         def apply_fn(params, batch, overrides):
             out = eval_model.apply(
-                {"params": params},
+                {"params": params, **extra_vars},
                 **batch,
                 training=False,
                 masker_overrides=overrides,
@@ -147,9 +151,11 @@ def co_smoothing_eval(
             preds = np.concatenate(preds, axis=0)
             return np.exp(preds) if log_input else preds
 
-        def many(points) -> np.ndarray:
-            """(K, trials, T, N) rates for up to sweep_batch points/call."""
-            out = []
+        def many(points):
+            """Yields (start, rates) chunks of up to ``sweep_batch`` sweep
+            points, rates shaped (K, trials, T, N). Chunked so the host
+            never holds the full (n_points, trials, T, N) array — at IBL
+            scale (~700 neurons) that would be tens of GB."""
             for start in range(0, len(points), sweep_batch):
                 chunk = points[start : start + sweep_batch]
                 stacked = jax.tree_util.tree_map(
@@ -160,9 +166,8 @@ def co_smoothing_eval(
                     np.asarray(eval_fn_vmapped(params, dev, stacked))
                     for dev in dev_batches()
                 ]
-                out.append(np.concatenate(preds, axis=1))   # (K, trials, T, N)
-            rates = np.concatenate(out, axis=0)
-            return np.exp(rates) if log_input else rates
+                rates = np.concatenate(preds, axis=1)       # (K, trials, T, N)
+                yield start, (np.exp(rates) if log_input else rates)
 
         return one, many
 
@@ -209,12 +214,12 @@ def co_smoothing_eval(
                 channels_onehot=jnp.asarray(np.arange(N_total) == n_i)
             )},
         )
-        rates_all = many(list(range(N)))                 # (N, trials, T, N_total)
         bps_list, r2_list = [], []
-        for n_i in range(N):
-            bps, r2 = score(rates_all[n_i], n_i, "neuron")
-            bps_list.append(bps)
-            r2_list.append(r2)
+        for start, rates in many(list(range(N))):
+            for j in range(rates.shape[0]):
+                bps, r2 = score(rates[j], start + j, "neuron")
+                bps_list.append(bps)
+                r2_list.append(r2)
         results["neuron"] = {"bps": bps_list, "r2": r2_list}
 
     if "intra-region" in modes:
@@ -235,12 +240,12 @@ def co_smoothing_eval(
                 ),
             },
         )
-        rates_all = many(list(range(N)))
         bps_list, r2_list = [], []
-        for n_i in range(N):
-            bps, r2 = score(rates_all[n_i], n_i, "intra-region")
-            bps_list.append(bps)
-            r2_list.append(r2)
+        for start, rates in many(list(range(N))):
+            for j in range(rates.shape[0]):
+                bps, r2 = score(rates[j], start + j, "intra-region")
+                bps_list.append(bps)
+                r2_list.append(r2)
         results["intra-region"] = {"bps": bps_list, "r2": r2_list}
 
     if "inter-region" in modes:

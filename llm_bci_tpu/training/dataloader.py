@@ -14,24 +14,58 @@ from typing import Any, Callable, Dict, Iterator, List, Optional, Tuple
 import numpy as np
 
 
-def freeze_pad_lengths(dataset, pad_dict: Dict[str, Dict[str, Any]]) -> Dict[str, Dict[str, Any]]:
-    """For every pad key whose ``truncate`` is null, scan the dataset once and
-    pin ``truncate == min_length`` to the dataset-wide max along ``dim`` —
-    static shapes for XLA. Explicit ``truncate`` values are respected."""
+def _shape_rows(dataset):
+    """Per-example {pad_key: shape} for a dataset, read from the RAW rows —
+    no ``__getitem__``: that would deepcopy every example just to look at
+    shapes and, for the day-specific dataset, consume its stateful sampling
+    pools/RNG before training starts. Derived columns (mask/timestamp/
+    spacestamp, targets_mask) share their source column's shape."""
+    spikes_name = getattr(dataset, "spikes_name", "spikes")
+    targets_name = getattr(dataset, "targets_name", None)
+    if hasattr(dataset, "day_datasets"):
+        raw = [row for rows in dataset.day_datasets.values() for row in rows]
+    else:
+        raw = getattr(dataset, "dataset", dataset)
+    for row in raw:
+        shapes = {}
+        for k, v in row.items():
+            try:
+                shapes[k] = np.shape(v)
+            except Exception:
+                continue
+        sp = shapes.get(spikes_name)
+        if sp is not None and len(sp) >= 1:
+            shapes.setdefault("spikes", sp)
+            shapes.setdefault("spikes_mask", sp[:1])
+            shapes.setdefault("spikes_timestamp", sp[:1])
+            shapes.setdefault("spikes_spacestamp", sp[1:2])
+        if targets_name is not None and targets_name in shapes:
+            ts = shapes[targets_name]
+            shapes.setdefault("targets", ts)
+            shapes.setdefault("targets_mask", ts)
+        yield shapes
+
+
+def freeze_pad_lengths(datasets, pad_dict: Dict[str, Dict[str, Any]]) -> Dict[str, Dict[str, Any]]:
+    """For every pad key whose ``truncate`` is null, scan the dataset(s) once
+    and pin ``truncate == min_length`` to the max along ``dim`` across ALL
+    given datasets — static shapes for XLA, shared by every split (a test
+    example longer than the train max must widen the target, not be
+    silently cut). Explicit ``truncate`` values are respected."""
+    if not isinstance(datasets, (list, tuple)):
+        datasets = [datasets]
     pad_dict = copy.deepcopy(pad_dict)
     need = {k: v for k, v in pad_dict.items() if v.get("truncate") is None}
     if not need:
         return pad_dict
     maxes = {k: 0 for k in need}
-    for i in range(len(dataset)):
-        rows = dataset[i]
-        if not isinstance(rows, list):
-            rows = [rows]
-        for row in rows:
+    for dataset in datasets:
+        for shapes in _shape_rows(dataset):
             for k, spec in need.items():
-                if k in row:
-                    arr = np.asarray(row[k])
-                    maxes[k] = max(maxes[k], arr.shape[spec.get("dim", 0)])
+                shp = shapes.get(k)
+                dim = spec.get("dim", 0)
+                if shp is not None and len(shp) > dim:
+                    maxes[k] = max(maxes[k], shp[dim])
     for k, spec in need.items():
         spec["truncate"] = maxes[k]
         spec["min_length"] = maxes[k]

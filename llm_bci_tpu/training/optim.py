@@ -29,13 +29,18 @@ def build_schedule(opt_cfg, steps_per_epoch: int, num_epochs: int):
 
     if name == "linear":
         warmup = round(float(opt_cfg.get("warmup_pct", 0.0)) * total_updates)
+        if warmup == 0:
+            # HF get_linear_schedule_with_warmup with 0 warmup steps starts
+            # at FULL lr; the joined 1-step ramp would waste the first
+            # update at lr 0.
+            return optax.linear_schedule(lr, 0.0, max(total_updates, 1)), total_updates
         return (
             optax.join_schedules(
                 [
-                    optax.linear_schedule(0.0, lr, max(warmup, 1)),
+                    optax.linear_schedule(0.0, lr, warmup),
                     optax.linear_schedule(lr, 0.0, max(total_updates - warmup, 1)),
                 ],
-                boundaries=[max(warmup, 1)],
+                boundaries=[warmup],
             ),
             total_updates,
         )

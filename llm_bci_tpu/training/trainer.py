@@ -261,10 +261,10 @@ class Trainer:
         )
 
         pad_dict = to_plain_dict(cfg.method.dataloader_kwargs.pad_dict)
-        # Static shapes: one frozen pad target across both splits so train and
-        # eval share a single XLA compilation per batch size.
-        pad_dict = freeze_pad_lengths(self.train_dataset, pad_dict)
-        pad_dict = freeze_pad_lengths(self.test_dataset, pad_dict)
+        # Static shapes: one frozen pad target across both splits (max over
+        # BOTH datasets) so train and eval share a single XLA compilation
+        # per batch size and no split's long examples get cut.
+        pad_dict = freeze_pad_lengths([self.train_dataset, self.test_dataset], pad_dict)
         for spec in pad_dict.values():
             if spec.get("min_length") is not None and spec.get("truncate") is not None:
                 spec["min_length"] = min(spec["min_length"], spec["truncate"])

@@ -110,3 +110,54 @@ def test_collate_rejects_nonarray_pad_key():
     ds = SpikingDataset(_examples(with_targets=False))
     with pytest.raises(ValueError):
         pad_collate_fn([ds[0]], ["spikes"], {"sentence": {"dim": 0}})
+
+
+def test_freeze_pad_lengths_spans_both_splits():
+    """The frozen pad target is the max over ALL given datasets — a test
+    example longer than every train example must widen the target, not be
+    silently truncated (round-2 review finding)."""
+    from llm_bci_tpu.data.datasets import SpikingDataset
+    from llm_bci_tpu.training.dataloader import freeze_pad_lengths
+
+    rng = np.random.default_rng(0)
+    train = SpikingDataset([{"spikes": rng.poisson(1.0, size=(8, 3)).astype(np.float32)}])
+    test = SpikingDataset([{"spikes": rng.poisson(1.0, size=(13, 3)).astype(np.float32)}])
+    pad = {"spikes": {"dim": 0, "side": "right", "value": 0, "truncate": None, "min_length": None}}
+    out = freeze_pad_lengths([train, test], pad)
+    assert out["spikes"]["truncate"] == 13
+    assert out["spikes"]["min_length"] == 13
+
+
+def test_freeze_pad_lengths_does_not_consume_day_dataset_state():
+    """Scanning shapes must not pop from the day dataset's sampling pools
+    (it previously went through __getitem__)."""
+    from llm_bci_tpu.data.datasets import DaySpecificSpikingDatasetForDecoding
+    from llm_bci_tpu.training.dataloader import freeze_pad_lengths
+
+    rng = np.random.default_rng(0)
+    rows = [
+        {"spikes": rng.poisson(1.0, size=(6, 3)).astype(np.float32),
+         "targets": rng.integers(0, 5, size=(4,)), "day_idx": i % 2}
+        for i in range(6)
+    ]
+    ds = DaySpecificSpikingDatasetForDecoding(rows, batch_size=2)
+    pools_before = {d: list(p) for d, p in ds.possible_idx.items()}
+    freeze_pad_lengths(ds, {"spikes": {"dim": 0, "side": "right", "value": 0,
+                                       "truncate": None, "min_length": None},
+                            "targets": {"dim": 0, "side": "right", "value": 0,
+                                        "truncate": None, "min_length": None}})
+    assert ds.possible_idx == pools_before
+
+
+def test_padded_array_left_truncate_keeps_tail():
+    """With side='left' truncation keeps the TAIL so truncated rows stay
+    end-aligned with padded rows (documented deviation: the reference
+    always keeps the head, data_utils/datasets.py:219)."""
+    from llm_bci_tpu.data.datasets import padded_array
+
+    out = padded_array(
+        [np.arange(1, 4), np.arange(1, 13)],
+        dim=0, side="left", value=0, truncate=10, min_length=10,
+    )
+    np.testing.assert_array_equal(out[0], [0, 0, 0, 0, 0, 0, 0, 1, 2, 3])
+    np.testing.assert_array_equal(out[1], [3, 4, 5, 6, 7, 8, 9, 10, 11, 12])

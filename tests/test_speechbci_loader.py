@@ -191,3 +191,34 @@ def test_create_phonemes_labels_oov_raises(tmp_path):
         create_phonemes_ctc_labels(ds, vocab_file)
     out = create_phonemes_ctc_labels(ds, vocab_file, allow_fallback=True)
     assert out["train"][0]["phonemes"][-1] == "SIL"
+
+
+def test_zscore_dead_channel_no_nan(tmp_path):
+    """A channel with zero variance in a block/day must not inject NaN."""
+    import scipy.io
+
+    from llm_bci_tpu.data.speechbci import load_competition_data
+
+    rng = np.random.default_rng(0)
+    for split in ("train", "test", "competitionHoldOut"):
+        os.makedirs(os.path.join(str(tmp_path), split), exist_ok=True)
+        n = 3
+        tx1 = np.empty((1, n), object)
+        spow = np.empty((1, n), object)
+        for i in range(n):
+            Ti = 12 + i                           # ragged -> object cells
+            arr = rng.poisson(1.0, size=(Ti, 4)).astype(np.float64)
+            arr[:, 0] = 0.0                       # dead channel
+            tx1[0, i] = arr
+            spow[0, i] = np.zeros((Ti, 4))        # all-dead feature block
+        scipy.io.savemat(
+            os.path.join(str(tmp_path), split, "t12.2022.04.18.mat"),
+            {"tx1": tx1, "spikePow": spow,
+             "sentenceText": np.array(["hi there"] * n),
+             "blockIdx": np.ones((n, 1), np.int64)},
+        )
+    ds = load_competition_data(
+        str(tmp_path), zscore_block=True, zscore_day=True, area_start=0, area_end=4
+    )
+    for row in ds["train"]:
+        assert np.isfinite(row["spikes"]).all()
