@@ -294,9 +294,15 @@ def create_llm_labels(
     # default-configured tokenizer (add_bos_token=True) would otherwise
     # scatter BOS tokens mid-sequence — and into the loss-bearing labels.
     # The appended eos STRING still maps to the eos id (AddedToken match).
+    # The sequence-INITIAL BOS the base model was pretrained to expect is
+    # restored explicitly below (it lands in part_a, loss-masked to −100).
     prompt_tokens_a = tokenizer(
         part_a, return_tensors="np", add_special_tokens=False
     )["input_ids"][0]
+    if getattr(tokenizer, "add_bos_token", False) and tokenizer.bos_token_id is not None:
+        prompt_tokens_a = np.concatenate(
+            [np.asarray([tokenizer.bos_token_id], dtype=prompt_tokens_a.dtype), prompt_tokens_a]
+        )
     prompt_tokens_b = tokenizer(
         part_b, return_tensors="np", add_special_tokens=False
     )["input_ids"][0]

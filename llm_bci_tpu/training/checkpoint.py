@@ -58,6 +58,7 @@ def _overlay(target: Any, restored: Any) -> Any:
         if v is not None
     }
     filled: list = []
+    mismatched: list = []
 
     def leaf(path, t):
         v = saved.get(keystr(path))
@@ -65,6 +66,13 @@ def _overlay(target: Any, restored: Any) -> Any:
             filled.append(keystr(path))
             return t
         arr = np.asarray(v)
+        if np.shape(arr) != np.shape(t):
+            # e.g. a threefry (2,)-key checkpoint restored into an rbg
+            # (4,)-key TrainState after training.rng_impl changed: grafting
+            # the wrong-shaped leaf would crash later, far from here, at the
+            # first use. Keep the live value and say so.
+            mismatched.append(f"{keystr(path)} {np.shape(arr)}->{np.shape(t)}")
+            return t
         if hasattr(t, "dtype") and arr.dtype != t.dtype:
             arr = arr.astype(t.dtype)
         return arr
@@ -75,6 +83,14 @@ def _overlay(target: Any, restored: Any) -> Any:
             "restore_train_state: checkpoint predates parts of the current "
             f"TrainState schema; kept live values for {filled[:5]}"
             f"{'...' if len(filled) > 5 else ''}",
+            flush=True,
+        )
+    if mismatched:
+        print(
+            "restore_train_state: checkpoint leaf shapes differ from the "
+            f"live TrainState; kept live values for {mismatched[:5]}"
+            f"{'...' if len(mismatched) > 5 else ''} (expected when "
+            "training.rng_impl or the model schema changed between runs)",
             flush=True,
         )
     return out
@@ -96,8 +112,15 @@ def restore_train_state(directory: str, target: Any, step: Optional[int] = None)
     host_target = jax.device_get(target)
     try:
         restored = mgr.restore(step, args=ocp.args.StandardRestore(host_target))
-    except Exception:
-        # Hard structure mismatch: fall back to the as-saved tree (nested
-        # dicts share the same keystr paths for matching leaves).
+    except (ValueError, TypeError, KeyError) as e:
+        # Structure/shape mismatch between the saved tree and the live
+        # TrainState (schema evolution): fall back to the as-saved tree —
+        # nested dicts share the same keystr paths for matching leaves.
+        # IO/corruption errors (OSError etc.) still propagate.
+        print(
+            f"restore_train_state: strict restore failed ({type(e).__name__}: "
+            f"{e}); retrying structure-tolerant restore",
+            flush=True,
+        )
         restored = mgr.restore(step)
     return step, _overlay(host_target, restored)

@@ -66,6 +66,18 @@ def freeze_pad_lengths(datasets, pad_dict: Dict[str, Dict[str, Any]]) -> Dict[st
                 dim = spec.get("dim", 0)
                 if shp is not None and len(shp) > dim:
                     maxes[k] = max(maxes[k], shp[dim])
+    empty = [k for k in need if maxes[k] == 0]
+    if empty:
+        # A pad key the raw-row scan never saw (e.g. a column that only
+        # materializes in __getitem__, or schema drift in _shape_rows'
+        # derived-column conventions) would otherwise freeze to truncate=0
+        # and silently cut every batch's arrays for it to zero length.
+        raise ValueError(
+            f"freeze_pad_lengths: pad keys {empty} were not found in any "
+            "dataset row (raw-row scan); set an explicit 'truncate' for them "
+            "in the pad config, or extend _shape_rows if the key is derived "
+            "inside __getitem__"
+        )
     for k, spec in need.items():
         spec["truncate"] = maxes[k]
         spec["min_length"] = maxes[k]

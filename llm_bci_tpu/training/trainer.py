@@ -637,6 +637,40 @@ class Trainer:
         window_t0 = time.perf_counter()
         window_samples = 0
 
+        # One-step-lag metric readback: metric fns (and the per-step loss
+        # scalar) sync device→host, so running them on step t's outputs
+        # would fence the hot loop. Instead they run on step t−1's outputs
+        # while step t executes on device — the readback cost hides under
+        # compute. Values and their step labels are unchanged, only WHEN
+        # they are read moves. `pending` is drained before every averaging /
+        # reset boundary so nothing is dropped or double-counted.
+        pending = None
+
+        def drain(p):
+            if p is None:
+                return
+            p_step, p_inputs, p_unused, p_outputs = p
+            if self.writer is not None:
+                loss_v = float(np.asarray(p_outputs["loss"]))
+                n_v = float(np.asarray(p_outputs["n_examples"]))
+                self.writer.add_scalar(
+                    "Loss/train_iter", loss_v / n_v if n_v > 0 else 0.0, p_step
+                )
+            for name, fn in self.metric_fns.items():
+                # Device arrays, not host copies — see evaluate().
+                val = float(
+                    fn(
+                        self.model_handle,
+                        p_inputs,
+                        p_unused,
+                        p_outputs,
+                        **self.metric_kwargs,
+                    )
+                )
+                train_metrics[name].append(val)
+                if self.writer is not None:
+                    self.writer.add_scalar(f"{name}/train_iter", val, p_step)
+
         for epoch in range(min(start_epoch, n_epochs), n_epochs + 1):
             self.print_v(f"Epoch {epoch}", verbosity=1)
             for dev_batch, model_inputs, unused_inputs in self._prefetch(
@@ -666,27 +700,9 @@ class Trainer:
                 train_loss.append(outputs["loss"])
                 train_examples.append(outputs["n_examples"])
 
-                if self.writer is not None:
-                    loss_v = float(np.asarray(outputs["loss"]))
-                    n_v = float(np.asarray(outputs["n_examples"]))
-                    self.writer.add_scalar(
-                        "Loss/train_iter", loss_v / n_v if n_v > 0 else 0.0, global_step
-                    )
-
-                for name, fn in self.metric_fns.items():
-                    # Device arrays, not host copies — see evaluate().
-                    val = float(
-                        fn(
-                            self.model_handle,
-                            model_inputs,
-                            unused_inputs,
-                            outputs,
-                            **self.metric_kwargs,
-                        )
-                    )
-                    train_metrics[name].append(val)
-                    if self.writer is not None:
-                        self.writer.add_scalar(f"{name}/train_iter", val, global_step)
+                # Read back step t−1's metrics while step t runs on device.
+                drain(pending)
+                pending = (global_step, model_inputs, unused_inputs, outputs)
 
                 if (
                     config.training.eval_every
@@ -696,6 +712,9 @@ class Trainer:
                     # Snapshot the training-window clock BEFORE the eval pass
                     # so the samples/s counter measures training only.
                     dt = time.perf_counter() - window_t0
+                    # Flush the current step's lagged metrics before averaging.
+                    drain(pending)
+                    pending = None
                     test_avg_loss, test_avg_metrics = self.evaluate(self.eval_metric_fns)
                     total_examples = float(
                         np.sum([np.asarray(x) for x in train_examples])
@@ -772,10 +791,14 @@ class Trainer:
                         "Reached max_steps" if max_steps else "Step budget done",
                         verbosity=1,
                     )
+                    drain(pending)
+                    pending = None
                     if self.writer is not None:
                         self.writer.flush()
                     return
 
+        drain(pending)
+        pending = None
         if self.writer is not None:
             self.writer.flush()
             self.writer.close()

@@ -149,6 +149,23 @@ def test_freeze_pad_lengths_does_not_consume_day_dataset_state():
     assert ds.possible_idx == pools_before
 
 
+def test_freeze_pad_lengths_raises_on_unseen_key():
+    """A needed pad key the raw-row scan never sees must fail loudly, not
+    freeze to truncate=0 and silently cut every batch to zero length
+    (round-2 advisor finding)."""
+    import pytest
+
+    from llm_bci_tpu.data.datasets import SpikingDataset
+    from llm_bci_tpu.training.dataloader import freeze_pad_lengths
+
+    rng = np.random.default_rng(0)
+    ds = SpikingDataset([{"spikes": rng.poisson(1.0, size=(8, 3)).astype(np.float32)}])
+    pad = {"nonexistent_column": {"dim": 0, "side": "right", "value": 0,
+                                  "truncate": None, "min_length": None}}
+    with pytest.raises(ValueError, match="nonexistent_column"):
+        freeze_pad_lengths(ds, pad)
+
+
 def test_padded_array_left_truncate_keeps_tail():
     """With side='left' truncation keeps the TAIL so truncated rows stay
     end-aligned with padded rows (documented deviation: the reference
