@@ -911,31 +911,41 @@ class NDT1(nn.Module):
             else jnp.full((B,), T0, jnp.int32)
         )
 
-        preds_out, bins_out = [], []
-        for i in range(max_new_bins):
-            t_new = T0 + i
-            if self.method_name == "mlm":
+        # One lax.scan step per new bin: the encoder is traced ONCE however
+        # large max_new_bins is (the unrolled form inlined max_new_bins full
+        # encoder copies into one program — compile-time blowup plus
+        # O(T·max_new_bins) recompute visible to the scheduler).
+        def step(mdl, carry, t_new):
+            buf, mask = carry
+            if mdl.method_name == "mlm":
                 mask = mask.at[:, t_new].set(1)
-            x, _, _ = self.encoder(
-                buf, mask, ts, lengths, block_idx, day_idx, False
-            )
-            preds = self._decode(x)
-            pos = t_new if self.method_name == "mlm" else t_new - 1
+            x, _, _ = mdl.encoder(buf, mask, ts, lengths, block_idx, day_idx, False)
+            preds = mdl._decode(x)
+            pos = t_new if mdl.method_name == "mlm" else t_new - 1
             new_preds = preds[:, pos, :]
             new_bins = new_preds
-            if self.loss == "poisson_nll":
-                if self.log_input:
+            if mdl.loss == "poisson_nll":
+                if mdl.log_input:
                     new_preds = jnp.exp(new_preds)
                     new_bins = new_preds
-                key = self.make_rng("sample")
+                key = mdl.make_rng("sample")
                 new_bins = jax.random.poisson(key, new_bins).astype(buf.dtype)
             buf = buf.at[:, t_new, :].set(new_bins)
-            if self.method_name == "autoregressive":
+            if mdl.method_name == "autoregressive":
                 mask = mask.at[:, t_new].set(1)
-            preds_out.append(new_preds)
-            bins_out.append(new_bins)
+            return (buf, mask), (new_preds, new_bins)
 
-        return jnp.stack(preds_out, 1), jnp.stack(bins_out, 1)
+        scan = nn.scan(
+            step,
+            variable_broadcast="params",
+            split_rngs={"sample": True},
+            in_axes=0,
+            out_axes=1,
+        )
+        _, (preds_out, bins_out) = scan(
+            self, (buf, mask), jnp.arange(T0, T0 + max_new_bins)
+        )
+        return preds_out, bins_out
 
     # -- checkpointing (component-level, reference models/ndt1.py:685-692) --
 
