@@ -155,8 +155,175 @@ def best_of_k_wer(preds_file: str, tokenizer):
     return total_errors / total_words
 
 
+def wer_bootstrap_distributions(
+    preds_file: str, tokenizer, n_boot: int = 1000, seed: int = 0
+):
+    """Paired bootstrap vectors for top-beam WER and best-of-k WER over one
+    predictions pickle: the same resample index set drives both curves, as in
+    the reference's statistics block (``eval_phonemes.py:136-163``)."""
+    all_preds = pickle.load(open(preds_file, "rb"))
+    words, errors, best_errors = [], [], []
+    for tokens, target in all_preds:
+        tokens = np.asarray(tokens)
+        if tokens.ndim == 1:
+            tokens = tokens[None, :]
+        per_beam = [
+            word_error_count(
+                tokenizer.decode(beam, skip_special_tokens=True).strip(), target
+            )
+            for beam in tokens
+        ]
+        words.append(per_beam[0][1])
+        errors.append(per_beam[0][0])
+        best_errors.append(min(e for e, _ in per_beam))
+    words = np.asarray(words)
+    errors = np.asarray(errors)
+    best_errors = np.asarray(best_errors)
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, len(words), size=(n_boot, len(words)))
+    return {
+        "wer": errors.sum() / words.sum(),
+        "best_wer": best_errors.sum() / words.sum(),
+        "boots_wer": errors[idx].sum(1) / words[idx].sum(1),
+        "boots_best": best_errors[idx].sum(1) / words[idx].sum(1),
+    }
+
+
+def _grouped_bar_figure(stats, boot_key, ylabel, xlabel, out_path):
+    """Grouped bars (one group per beam size, one bar per run label) with
+    95% bootstrap CI whiskers — the reference's figure layout
+    (``eval_phonemes.py:172-240``), rendered from our stats."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    labels = list(stats)
+    beams_axis = sorted({b for m in stats.values() for b in m})
+    x = np.arange(len(beams_axis))
+    width = 0.8 / max(len(labels), 1)
+    fig, ax = plt.subplots(figsize=(10, 6))
+    for j, lab in enumerate(labels):
+        means, lo, hi = [], [], []
+        for b in beams_axis:
+            boots = stats[lab][b][boot_key] * 100.0
+            m = boots.mean()
+            p_lo, p_hi = np.percentile(boots, [2.5, 97.5])
+            means.append(m)
+            lo.append(m - p_lo)
+            hi.append(p_hi - m)
+        ax.bar(
+            x + (j - (len(labels) - 1) / 2) * width,
+            means,
+            yerr=[lo, hi],
+            width=width,
+            label=lab,
+            capsize=3,
+        )
+    ax.set_xlabel(xlabel, fontsize=14)
+    ax.set_ylabel(ylabel, fontsize=14)
+    ax.set_xticks(x)
+    ax.set_xticklabels([str(b) for b in beams_axis], fontsize=13)
+    ax.grid(True, which="both", linestyle="--", linewidth=0.5)
+    ax.minorticks_on()
+    ax.legend(fontsize=13)
+    fig.tight_layout()
+    fig.savefig(out_path)
+    plt.close(fig)
+
+
+def analyze(
+    preds_files,
+    tokenizer,
+    out_dir: str = "plots/bci",
+    n_boot: int = 1000,
+    seed: int = 0,
+):
+    """Offline analysis of saved predictions: writes the reference's two
+    figures (``wer.png``: top-beam WER vs beam size; ``best_wer.png``:
+    best-of-k oracle WER) plus ``examples.json`` (per-sentence decodes
+    sorted by WER, reference ``eval_phonemes.py:245-260``).
+
+    ``preds_files``: ``{run_label: {beams: path_to_pickle}}``.
+    Returns the per-run stats dict."""
+    import json
+
+    os.makedirs(out_dir, exist_ok=True)
+    stats = {
+        lab: {
+            b: wer_bootstrap_distributions(path, tokenizer, n_boot, seed)
+            for b, path in sorted(m.items())
+        }
+        for lab, m in preds_files.items()
+    }
+    _grouped_bar_figure(
+        stats, "boots_wer", "Word Error Rate (%)", "Beam size",
+        os.path.join(out_dir, "wer.png"),
+    )
+    _grouped_bar_figure(
+        stats, "boots_best", "Best Word Error Rate (%)", "Top-$k$",
+        os.path.join(out_dir, "best_wer.png"),
+    )
+
+    first_lab = next(iter(preds_files))
+    first_path = preds_files[first_lab][sorted(preds_files[first_lab])[-1]]
+    examples = []
+    for tokens, target in pickle.load(open(first_path, "rb")):
+        tokens = np.asarray(tokens)
+        best = tokens[0] if tokens.ndim > 1 else tokens
+        pred = tokenizer.decode(best, skip_special_tokens=True).strip()
+        e, w = word_error_count(pred, target)
+        examples.append([pred, target, int(e), int(w)])
+    examples.sort(key=lambda ex: ex[2] / max(ex[3], 1))
+    with open(os.path.join(out_dir, "examples.json"), "w") as f:
+        json.dump(examples, f, indent=1)
+    return stats
+
+
+def analyze_cli(kwargs) -> None:
+    """``python eval_phonemes.py --analyze -k preds=lora_1.pkl,lora_5.pkl
+    tokenizer_path=... out_dir=plots/bci``. Files named ``<label>_<beams>.pkl``
+    group into one bar series per label; other stems become their own
+    single-beam series."""
+    preds = kwargs.get("preds")
+    if not preds:
+        raise SystemExit("pass -k preds=<comma-separated predictions pickles>")
+    tok_path = kwargs.get("tokenizer_path")
+    if not tok_path:
+        raise SystemExit("pass -k tokenizer_path=<tokenizer dir>")
+    from transformers import AutoTokenizer
+
+    tokenizer = AutoTokenizer.from_pretrained(tok_path)
+    files: dict = {}
+    for path in str(preds).split(","):
+        stem = os.path.splitext(os.path.basename(path))[0]
+        lab, _, tail = stem.rpartition("_")
+        if lab and tail.isdigit():
+            files.setdefault(lab, {})[int(tail)] = path
+        else:
+            files.setdefault(stem, {})[1] = path
+    stats = analyze(
+        files,
+        tokenizer,
+        out_dir=str(kwargs.get("out_dir", "plots/bci")),
+        n_boot=int(kwargs.get("n_boot", 1000)),
+        seed=int(kwargs.get("seed", 0)),
+    )
+    for lab, m in stats.items():
+        for b, s in m.items():
+            print(
+                f"{lab} beams={b}: WER {100 * s['wer']:.2f}% "
+                f"best-of-k {100 * s['best_wer']:.2f}%"
+            )
+
+
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("-c", "--config_file", type=str, default="none")
+    parser.add_argument("--analyze", action="store_true")
     parser.add_argument("-k", "--kwargs", nargs="*", action=ParseKwargs)
-    main(parser.parse_args())
+    args = parser.parse_args()
+    if args.analyze:
+        analyze_cli(config_from_kwargs(args.kwargs))
+    else:
+        main(args)

@@ -165,6 +165,45 @@ def test_eval_phonemes_analysis(tmp_path):
     assert best_of_k_wer(path, FakeTok()) == 0.0
 
 
+def test_eval_phonemes_analysis_figures(tmp_path):
+    """--analyze writes the reference's two figures (wer.png, best_wer.png)
+    and the sorted examples.json from predictions pickles."""
+    import json
+    import pickle
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from eval_phonemes import analyze
+
+    class FakeTok:
+        def decode(self, ids, skip_special_tokens=True):
+            words = {1: "hello", 2: "world", 3: "good", 4: "day"}
+            return " ".join(words.get(int(i), "") for i in ids).strip()
+
+    rng = np.random.default_rng(0)
+    paths = {}
+    for beams in (1, 3):
+        preds = [
+            (rng.integers(1, 5, size=(beams, 2)), "hello world"),
+            (rng.integers(1, 5, size=(beams, 2)), "good day"),
+        ]
+        p = str(tmp_path / f"lora_{beams}.pkl")
+        pickle.dump(preds, open(p, "wb"))
+        paths[beams] = p
+
+    out = str(tmp_path / "plots")
+    stats = analyze({"lora": paths}, FakeTok(), out_dir=out, n_boot=50)
+    assert os.path.exists(os.path.join(out, "wer.png"))
+    assert os.path.exists(os.path.join(out, "best_wer.png"))
+    examples = json.load(open(os.path.join(out, "examples.json")))
+    assert len(examples) == 2 and all(len(r) == 4 for r in examples)
+    # sorted ascending by per-sentence WER
+    assert examples[0][2] / examples[0][3] <= examples[1][2] / examples[1][3]
+    # best-of-k <= top-beam WER, per run
+    for s in stats["lora"].values():
+        assert s["best_wer"] <= s["wer"] + 1e-9
+
+
 def test_dictionary_g2p_oov_gating():
     """OOV words hard-fail unless the letter-to-sound fallback is opted in
     (competition labels must not silently degrade)."""
