@@ -111,24 +111,128 @@ def test_beam_search_matches_hf(tmp_path, length_penalty):
     np.testing.assert_array_equal(np.asarray(res.sequences), hf_tokens)
 
 
-def test_diverse_beam_search_matches_hf(tmp_path):
-    """The reference WER-eval config: groups == beams, diversity 1.2."""
+def _hf_group_beam_oracle(hf, embeds, attn, K, diversity_penalty, length_penalty):
+    """Offline re-implementation of HF ``transformers`` (≤4.56) group beam
+    search for ``num_beam_groups == num_beams`` (group size 1), driving the
+    torch model's logits step by step. transformers 4.57 moved the group-beam
+    driver to a hub-hosted ``custom_generate`` repo, so this inline oracle —
+    ``HammingDiversityLogitsProcessor`` + ``BeamSearchScorer.process/finalize``
+    semantics in plain python — is the external parity reference.
+
+    Faithful quirks: the diversity count includes pad tokens emitted by
+    already-done groups; cumulative beam scores (and hence the returned
+    ``sequences_scores``) include the diversity penalty; EOS is only accepted
+    at candidate rank < group_size (rank 0 here); ``is_done`` with
+    ``early_stopping=False`` compares the worst kept hypothesis to
+    ``best_next / cur_len**length_penalty``; finalize appends EOS to any
+    hypothesis shorter than the padded output width."""
+    gs = 1
+    Bn = embeds.shape[0]
+    embeds_t = torch.from_numpy(embeds).repeat_interleave(K, dim=0)
+    attn_t = torch.from_numpy(attn).long().repeat_interleave(K, dim=0)
+    with torch.no_grad():
+        out = hf(inputs_embeds=embeds_t, attention_mask=attn_t, use_cache=True)
+    past = out.past_key_values
+    logits = out.logits[:, -1, :]
+
+    beam_scores = np.zeros((Bn, K), np.float64)
+    tokens = [[[] for _ in range(K)] for _ in range(Bn)]
+    hyps = [[[] for _ in range(K)] for _ in range(Bn)]  # [(norm_score, seq)]
+    done = [[False] * K for _ in range(Bn)]
+
+    def add_hyp(bucket, norm_score, seq):
+        bucket.append((norm_score, list(seq)))
+        if len(bucket) > gs:
+            bucket.remove(min(bucket, key=lambda x: x[0]))
+
+    for _ in range(NEW):
+        lp_all = torch.log_softmax(logits.double(), dim=-1).numpy()  # (B*K, V)
+        current = np.full((Bn, K), -1, np.int64)
+        next_input = np.full((Bn * K,), PAD, np.int64)
+        for g in range(K):
+            for b in range(Bn):
+                row = b * K + g
+                if done[b][g]:
+                    beam_scores[b, g] = 0.0
+                    tokens[b][g].append(PAD)
+                    current[b, g] = PAD
+                    next_input[row] = PAD
+                    continue
+                scores = lp_all[row].copy()
+                for gp in range(g):
+                    t = current[b, gp]
+                    if t >= 0:
+                        scores[t] -= diversity_penalty
+                total = scores + beam_scores[b, g]
+                order = np.argsort(total)[::-1][: 2 * gs]
+                cur_len = len(tokens[b][g]) + 1
+                chosen = None
+                for rank, tok in enumerate(order):
+                    tok = int(tok)
+                    if tok == EOS:
+                        if rank >= gs:
+                            continue
+                        seq = tokens[b][g]
+                        add_hyp(
+                            hyps[b][g],
+                            total[tok] / (max(len(seq), 1) ** length_penalty),
+                            seq,
+                        )
+                    elif chosen is None:
+                        chosen = tok
+                        break
+                beam_scores[b, g] = total[chosen]
+                tokens[b][g].append(chosen)
+                current[b, g] = chosen
+                next_input[row] = chosen
+                if len(hyps[b][g]) >= gs:
+                    worst = min(s for s, _ in hyps[b][g])
+                    if worst >= total.max() / (cur_len ** length_penalty):
+                        done[b][g] = True
+        attn_t = torch.cat([attn_t, torch.ones(Bn * K, 1, dtype=torch.long)], dim=1)
+        with torch.no_grad():
+            out = hf(
+                input_ids=torch.from_numpy(next_input)[:, None],
+                attention_mask=attn_t,
+                past_key_values=past,
+                use_cache=True,
+            )
+        past = out.past_key_values
+        logits = out.logits[:, -1, :]
+        if all(all(row) for row in done):
+            break
+
+    seqs = np.full((Bn, K, NEW), PAD, np.int64)
+    out_scores = np.zeros((Bn, K))
+    for b in range(Bn):
+        cands = []
+        for g in range(K):
+            if not done[b][g]:
+                seq = [t for t in tokens[b][g]]
+                add_hyp(
+                    hyps[b][g],
+                    beam_scores[b, g] / (len(seq) ** length_penalty),
+                    seq,
+                )
+            cands.extend(hyps[b][g])
+        cands.sort(key=lambda x: x[0])
+        best = [cands.pop() for _ in range(K)]
+        for j, (s, seq) in enumerate(best):
+            out_scores[b, j] = s
+            seqs[b, j, : len(seq)] = seq
+            if len(seq) < NEW:
+                seqs[b, j, len(seq)] = EOS
+    return seqs, out_scores
+
+
+def test_diverse_beam_search_matches_hf_oracle(tmp_path):
+    """The reference WER-eval config: groups == beams, diversity 1.2 —
+    checked against the inline HF group-beam oracle (no hub access)."""
     hf, bound, ids, attn, embeds, decode_step, embed_tokens = _setup(tmp_path)
     K = 3
-    try:
-        out = _hf_generate(
-            hf, embeds, attn,
-            num_beams=K, num_beam_groups=K, num_return_sequences=K,
-            diversity_penalty=1.2, length_penalty=1.0, early_stopping=False,
-        )
-    except ValueError as e:
-        # transformers >= 4.57 moved group beam search to a hub-hosted
-        # custom_generate repo; without network access the HF side can't
-        # run. Our diverse beam search is still covered by the exhaustive
-        # reference in test_generation_beams.py.
-        pytest.skip(f"HF group beam search unavailable offline: {e}")
-    hf_tokens = _pad_to(out.sequences.numpy(), NEW).reshape(B, K, NEW)
-    hf_scores = out.sequences_scores.numpy().reshape(B, K)
+    hf_tokens, hf_scores = _hf_group_beam_oracle(
+        hf, embeds, attn, K, diversity_penalty=1.2, length_penalty=1.0
+    )
 
     cache = bound.init_cache(B * K, P + NEW)
     res = diverse_beam_search(
