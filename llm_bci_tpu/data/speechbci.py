@@ -165,28 +165,70 @@ def load_competition_data(
 _ARPABET_DICT_PATH = os.path.join(os.path.dirname(__file__), "arpabet_dict.txt")
 
 
+# Optional full pronunciation dictionary: if the user drops the
+# public-domain CMUdict (cmudict.dict / cmudict-0.7b, ~134k entries) at this
+# path — or points LLM_BCI_CMUDICT at one — it merges over the vendored
+# subset and rule-based fallback becomes a rarity. Not vendored here because
+# this build environment has no network access to fetch it.
+_CMUDICT_PATH = os.path.join(os.path.dirname(__file__), "cmudict.txt")
+
+
 class DictionaryG2P:
     """Dictionary-backed grapheme→phoneme with the ``g2p_en`` call protocol
     (phonemes with stress digits, ``" "`` tokens at word boundaries).
 
-    Uses the vendored CMUdict-convention subset
-    (:data:`_ARPABET_DICT_PATH`) so common-word labels match the reference
-    pipeline (``data_utils/speechbci_dataset.py:142-168``) without network
-    access. Out-of-vocabulary words raise unless ``allow_fallback=True``
-    explicitly opts into the rule-based letter-to-sound approximation —
-    silently mixing non-dictionary labels into a competition run is worse
-    than failing loudly."""
+    Lookup order: the vendored hand-vetted subset (:data:`_ARPABET_DICT_PATH`)
+    merged under a full CMUdict if present (``data/cmudict.txt`` or
+    ``$LLM_BCI_CMUDICT``); out-of-vocabulary words go through the NRL-style
+    rule engine (:class:`llm_bci_tpu.data.lts.RuleLTS`) or raise, depending
+    on ``oov``:
 
-    def __init__(self, dict_path: Optional[str] = None, allow_fallback: bool = False):
-        self.allow_fallback = allow_fallback
-        self._lts = _letter_to_sound_g2p()
+    * ``"raise"`` (default here): OOV is an error — a competition run should
+      not silently mix approximate labels with dictionary labels.
+    * ``"warn"``: label via letter-to-sound rules and report the OOV words
+      once, loudly (the pipeline default — arbitrary sentences stay
+      labelable self-contained, reference parity with g2p_en's
+      model-fallback behavior, ``data_utils/speechbci_dataset.py:142-168``).
+    * ``"lts"``: rule-based fallback, quiet.
+
+    ``allow_fallback=True`` is kept as an alias for ``oov="lts"``."""
+
+    def __init__(
+        self,
+        dict_path: Optional[str] = None,
+        oov: str = "raise",
+        allow_fallback: Optional[bool] = None,
+    ):
+        from llm_bci_tpu.data.lts import RuleLTS
+
+        if allow_fallback is not None:
+            oov = "lts" if allow_fallback else "raise"
+        if oov not in ("raise", "warn", "lts"):
+            raise ValueError(f"oov must be raise|warn|lts, got {oov!r}")
+        self.oov = oov
+        self._lts = RuleLTS()
+        self.oov_words: set = set()
         self.entries: Dict[str, List[str]] = {}
-        with open(dict_path or _ARPABET_DICT_PATH) as f:
+        paths = [dict_path or _ARPABET_DICT_PATH]
+        full = os.environ.get("LLM_BCI_CMUDICT", _CMUDICT_PATH)
+        if os.path.exists(full):
+            paths.append(full)
+        for path in paths:
+            self._load(path)
+
+    def _load(self, path: str) -> None:
+        with open(path, encoding="latin-1") as f:
             for line in f:
                 line = line.strip()
-                if not line or line.startswith("#"):
+                if not line or line.startswith("#") or line.startswith(";;;"):
                     continue
                 word, *phones = line.split()
+                word = word.upper()
+                if word.endswith(")") and "(" in word:
+                    continue  # CMUdict alternate pronunciations: keep the first
+                # strip cmudict.dict-style inline comments
+                if "#" in phones:
+                    phones = phones[: phones.index("#")]
                 self.entries[word] = phones
 
     def __call__(self, sentence: str) -> List[str]:
@@ -198,64 +240,56 @@ class DictionaryG2P:
             key = word.upper().strip(".,!?;:\"")
             phones = self.entries.get(key)
             if phones is None:
-                if not self.allow_fallback:
-                    oov.append(word)
+                oov.append(word)
+                if self.oov == "raise":
                     continue
                 phones = self._lts(key.lower())
             out.extend(phones)
         if oov:
-            raise ValueError(
-                f"words not in the vendored ARPAbet dictionary: {sorted(set(oov))}; "
-                "install g2p_en for full coverage, extend "
-                "llm_bci_tpu/data/arpabet_dict.txt, or pass allow_fallback=True "
-                "to accept rule-based letter-to-sound labels"
-            )
+            if self.oov == "raise":
+                raise ValueError(
+                    f"words not in the pronunciation dictionary: {sorted(set(oov))}; "
+                    "install g2p_en, drop a full CMUdict at "
+                    "llm_bci_tpu/data/cmudict.txt (or $LLM_BCI_CMUDICT), or pass "
+                    "oov='warn'/'lts' to accept rule-based letter-to-sound labels"
+                )
+            if self.oov == "warn":
+                fresh = set(oov) - self.oov_words
+                if fresh:
+                    print(
+                        "DictionaryG2P: rule-based letter-to-sound labels for "
+                        f"out-of-dictionary words {sorted(fresh)}",
+                        flush=True,
+                    )
+        self.oov_words.update(oov)
         return out
-
-
-def _letter_to_sound_g2p() -> Callable[[str], List[str]]:
-    """Crude rule-based grapheme→ARPAbet fallback for OOV words. Produces
-    *valid vocab tokens* so the CTC pipeline runs end to end, but is NOT
-    linguistically accurate — opt-in only."""
-    letter_map = {
-        "a": ["AE"], "b": ["B"], "c": ["K"], "d": ["D"], "e": ["EH"],
-        "f": ["F"], "g": ["G"], "h": ["HH"], "i": ["IH"], "j": ["JH"],
-        "k": ["K"], "l": ["L"], "m": ["M"], "n": ["N"], "o": ["AA"],
-        "p": ["P"], "q": ["K"], "r": ["R"], "s": ["S"], "t": ["T"],
-        "u": ["AH"], "v": ["V"], "w": ["W"], "x": ["K", "S"],
-        "y": ["Y"], "z": ["Z"], "'": [],
-    }
-
-    def lts(word: str) -> List[str]:
-        out: List[str] = []
-        for ch in word:
-            out.extend(letter_map.get(ch, []))
-        return out
-
-    return lts
 
 
 def create_phonemes_ctc_labels(
     dataset: Dict[str, List[Dict[str, Any]]],
     vocab_file: str,
     g2p: Optional[Callable[[str], List[str]]] = None,
-    allow_fallback: bool = False,
+    oov: str = "warn",
+    allow_fallback: Optional[bool] = None,
 ) -> Dict[str, List[Dict[str, Any]]]:
     """Adds ``phonemes`` (list[str]) and ``phonemes_idx`` (np int array) per
     example: g2p, strip stress digits, ``SIL`` at word ends, map through the
     41-token vocab (reference ``data_utils/speechbci_dataset.py:142-168``).
 
     G2P resolution order: explicit ``g2p`` arg > installed ``g2p_en`` >
-    vendored ARPAbet dictionary (:class:`DictionaryG2P`). With the
-    dictionary, out-of-vocabulary words raise unless
-    ``allow_fallback=True`` opts into the letter-to-sound approximation."""
+    dictionary + rule engine (:class:`DictionaryG2P`). The pipeline default
+    ``oov="warn"`` labels out-of-dictionary words with the NRL-style
+    letter-to-sound rules and reports them loudly, so arbitrary English
+    sentences are labelable self-contained (the reference's g2p_en behaves
+    the same way: dictionary first, model fallback). Pass ``oov="raise"``
+    for hard-fail strictness."""
     if g2p is None:
         try:
             from g2p_en import G2p
 
             g2p = G2p()
         except ImportError:
-            g2p = DictionaryG2P(allow_fallback=allow_fallback)
+            g2p = DictionaryG2P(oov=oov, allow_fallback=allow_fallback)
     vocab = json.load(open(vocab_file))
 
     def s_to_p(s: str) -> List[str]:

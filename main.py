@@ -62,10 +62,14 @@ def main(args):
         if config["data"].get("vocab_file"):
             blank_id = config.method.model_kwargs.blank_id
             vocab = json.load(open(config.data.vocab_file))
+            # data.g2p_oov: warn (default; rule-based labels for OOV words,
+            # reported loudly) | raise | lts. allow_g2p_fallback=true kept
+            # as a pre-round-3 alias for lts.
+            oov = str(config["data"].get("g2p_oov", "warn"))
+            if config["data"].get("allow_g2p_fallback"):
+                oov = "lts"
             dataset = create_phonemes_ctc_labels(
-                dataset,
-                config.data.vocab_file,
-                allow_fallback=bool(config["data"].get("allow_g2p_fallback", False)),
+                dataset, config.data.vocab_file, oov=oov
             )
         if config["data"].get("tokenizer_path"):
             from transformers import AutoTokenizer

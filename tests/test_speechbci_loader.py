@@ -221,13 +221,18 @@ def test_dictionary_g2p_oov_gating():
     assert " " in phones and len(phones) > 3  # runs end to end
 
 
-def test_create_phonemes_labels_oov_raises(tmp_path):
+def test_create_phonemes_labels_oov_modes(tmp_path):
+    """Default: OOV words label via the rule engine (loud warning, not a
+    crash — arbitrary sentences stay labelable self-contained). Strict mode
+    still hard-fails."""
     from llm_bci_tpu.data.speechbci import create_phonemes_ctc_labels
 
     vocab_file = os.path.join(os.path.dirname(os.path.dirname(__file__)), "vocab.json")
     ds = {"train": [{"sentence": "completely untranscribable xylopharmacology"}]}
-    with pytest.raises(ValueError, match="arpabet_dict"):
-        create_phonemes_ctc_labels(ds, vocab_file)
+    out = create_phonemes_ctc_labels(ds, vocab_file)
+    assert out["train"][0]["phonemes"][-1] == "SIL"
+    with pytest.raises(ValueError, match="dictionary"):
+        create_phonemes_ctc_labels(ds, vocab_file, oov="raise")
     out = create_phonemes_ctc_labels(ds, vocab_file, allow_fallback=True)
     assert out["train"][0]["phonemes"][-1] == "SIL"
 
