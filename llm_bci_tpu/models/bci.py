@@ -140,7 +140,17 @@ class BCI(nn.Module):
 
     def setup(self):
         cfg = self.config
-        self.encoder = NeuralEncoder(config=cfg["ndt1"]["encoder"], name="ndt1_encoder")
+        # The trunk keeps the exact reference splice semantics: tile-pad
+        # frames (stack.pad_to_multiple) would occupy prompt positions and
+        # shift every later token's position in the LLM. The trunk is a
+        # small fraction of the BCI step's FLOPs, so default alignment OFF
+        # here (standalone NDT1 defaults to 8); users can still opt in.
+        enc_cfg = dict(cfg["ndt1"]["encoder"])
+        if "pad_to_multiple" not in enc_cfg["embedder"].get("stack", {}):
+            emb = dict(enc_cfg["embedder"])
+            emb["stack"] = {**dict(emb.get("stack", {})), "pad_to_multiple": 1}
+            enc_cfg["embedder"] = emb
+        self.encoder = NeuralEncoder(config=enc_cfg, name="ndt1_encoder")
         self.llm = LlamaForCausalLM(
             self.llama_config,
             lora_r=self.lora_r,

@@ -212,6 +212,7 @@ class NeuralEmbeddingLayer(nn.Module):
     stack_active: bool
     stack_size: int
     stack_stride: int
+    stack_pad_multiple: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -278,6 +279,17 @@ class NeuralEmbeddingLayer(nn.Module):
                 self.stack_stride,
             )
             spikes_mask = jnp.prod(mask_frames, axis=-1).astype(spikes_mask.dtype)
+            # Tile-align the stacked length: the flagship recipe yields
+            # L = (512-32)/4+1 = 121, which mis-tiles every (M=121, ...)
+            # matmul against the TPU's 8-sublane grid. Pad frames are
+            # attention-masked and beyond every CTC input length, so they
+            # are semantically inert (the CTC head additionally pins their
+            # log-probs to blank for decode hygiene).
+            pad = (-x.shape[1]) % max(self.stack_pad_multiple, 1)
+            if pad:
+                x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+                spikes_mask = jnp.pad(spikes_mask, ((0, 0), (0, pad)))
+                spikes_timestamp = jnp.pad(spikes_timestamp, ((0, 0), (0, pad)))
         else:
             x = nn.Dense(
                 self.hidden_size,
@@ -572,6 +584,7 @@ class NeuralEncoder(nn.Module):
             stack_active=emb["stack"]["active"],
             stack_size=emb["stack"]["size"],
             stack_stride=emb["stack"]["stride"],
+            stack_pad_multiple=int(emb["stack"].get("pad_to_multiple", 1)),
             dtype=dt,
         )
         ctx = cfg["context"]
@@ -857,6 +870,16 @@ class NDT1(nn.Module):
                 mask=spikes_mask_out,
             )
         # ctc / endtoend
+        if emb["stack"]["active"]:
+            # Frames beyond the unpadded stacked length exist only for tile
+            # alignment (pad_to_multiple); they sit past every CTC input
+            # length so the loss never sees them, but greedy decodes of the
+            # full (B, L', V) preds would. Pin them to blank.
+            L_valid = 1 + (spikes.shape[1] - emb["stack"]["size"]) // emb["stack"]["stride"]
+            if preds.shape[1] > L_valid:
+                pad_rows = preds[:, L_valid:, :]
+                blank_row = jnp.full_like(pad_rows, -1e9).at[:, :, self.blank_id].set(0.0)
+                preds = jnp.concatenate([preds[:, :L_valid, :], blank_row], axis=1)
         loss = ctc_loss(
             preds,
             targets,

@@ -26,7 +26,13 @@ def save_train_state(directory: str, step: int, state: Any) -> None:
     import orbax.checkpoint as ocp
 
     mgr = _manager(directory)
-    mgr.save(step, args=ocp.args.StandardSave(jax.device_get(state)))
+    if jax.process_count() > 1:
+        # Multi-process: hand Orbax the (possibly non-addressable) sharded
+        # arrays directly — it coordinates per-host shard writes. A
+        # device_get here would raise on non-addressable shardings.
+        mgr.save(step, args=ocp.args.StandardSave(state))
+    else:
+        mgr.save(step, args=ocp.args.StandardSave(jax.device_get(state)))
     mgr.wait_until_finished()
 
 
@@ -109,6 +115,19 @@ def restore_train_state(directory: str, target: Any, step: Optional[int] = None)
     step = mgr.latest_step() if step is None else step
     if step is None:
         raise FileNotFoundError(f"No checkpoints in {directory}")
+    if jax.process_count() > 1:
+        # Multi-process: restore straight into the live shardings (strict —
+        # the single-process schema-tolerant overlay below would need host
+        # copies of non-addressable shards, which don't exist).
+        import orbax.checkpoint as ocp
+
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+            if hasattr(x, "sharding")
+            else x,
+            target,
+        )
+        return step, mgr.restore(step, args=ocp.args.StandardRestore(abstract))
     host_target = jax.device_get(target)
     try:
         restored = mgr.restore(step, args=ocp.args.StandardRestore(host_target))

@@ -58,6 +58,17 @@ from llm_bci_tpu.training.optim import build_optimizer
 DEFAULT_TRAINER_CONFIG = "configs/trainer.yaml"
 
 
+def _distributed_initialized() -> bool:
+    """True once ``jax.distributed.initialize`` has run (a launcher or test
+    may initialize before building the Trainer; a second call raises)."""
+    try:
+        from jax._src import distributed
+
+        return distributed.global_state.client is not None
+    except Exception:
+        return False
+
+
 def default_trainer_config() -> DictConfig:
     return update_config(resolve_path(DEFAULT_TRAINER_CONFIG), None)
 
@@ -137,7 +148,7 @@ class Trainer:
         # Multi-host (multi-slice / multi-process) runs: one controller per
         # host, all devices join a single global mesh. The reference's
         # equivalent is `accelerate launch` + torch.distributed rendezvous.
-        if par.get("multihost"):
+        if par.get("multihost") and not _distributed_initialized():
             jax.distributed.initialize()
         self.mesh = make_mesh(int(par.get("data", -1)), int(par.get("fsdp", 1)))
         self.is_main_process = jax.process_index() == 0
@@ -536,8 +547,16 @@ class Trainer:
 
     def _put_batch(self, batch: Dict[str, Any]) -> Dict[str, Any]:
         """Transfer numpy arrays to device; batch-shard when divisible by the
-        data axis, else replicate (partial final batches)."""
+        data axis, else replicate (partial final batches).
+
+        Multi-process runs (``jax.process_count() > 1``): every process's
+        dataloader iterates the SAME global batch (same data, same seed), and
+        each host materializes only the shards its addressable devices own
+        via ``jax.make_array_from_callback`` — a plain ``device_put`` of the
+        full global array raises on non-addressable shardings (the round-2
+        multihost gap)."""
         n_data = self.mesh.shape["data"]
+        multiproc = jax.process_count() > 1
         out = {}
         for k, v in batch.items():
             if not isinstance(v, np.ndarray):
@@ -547,7 +566,12 @@ class Trainer:
                 if v.shape[0] % n_data == 0
                 else replicated(self.mesh)
             )
-            out[k] = jax.device_put(v, sh)
+            if multiproc:
+                out[k] = jax.make_array_from_callback(
+                    v.shape, sh, lambda idx, v=v: v[idx]
+                )
+            else:
+                out[k] = jax.device_put(v, sh)
         return out
 
     # ------------------------------------------------------------- evaluate
@@ -813,11 +837,22 @@ class Trainer:
         if self.is_main_process:
             os.makedirs(save_to_path, exist_ok=True)
         self.print_v(f"Saving checkpoint to {save_to_path}", verbosity=1)
-        params = jax.device_get(self.state.params)
-        if hasattr(self.model, "save_checkpoint"):
-            self.model.save_checkpoint(save_to_path, params)
-        if hasattr(self.model, "save_config"):
-            self.model.save_config(save_to_path)
+        if jax.process_count() > 1:
+            # Component msgpack blobs need host copies of every param; with
+            # FSDP-sharded params across hosts those aren't addressable.
+            # The Orbax train-state below (distributed-safe) is the resume
+            # path; export blobs from it single-process if needed.
+            self.print_v(
+                "multi-process run: skipping component msgpack blobs "
+                "(train_state/ carries the full state)",
+                verbosity=2,
+            )
+        else:
+            params = jax.device_get(self.state.params)
+            if hasattr(self.model, "save_checkpoint"):
+                self.model.save_checkpoint(save_to_path, params)
+            if hasattr(self.model, "save_config"):
+                self.model.save_config(save_to_path)
         if self.is_main_process:
             with open(os.path.join(save_to_path, "trainer_config.yaml"), "w") as f:
                 yaml.safe_dump(to_plain_dict(self.config), f)
@@ -839,11 +874,17 @@ class Trainer:
         directory = directory or os.path.join(self.checkpoint_dir, "train_state")
         step, state = restore_train_state(directory, self.state)
         self._resume_step = int(step)
-        self.state = TrainState(
-            step=jnp.asarray(state.step),
-            params=jax.device_put(state.params, self.param_shardings),
-            opt_state=jax.device_put(state.opt_state, self.opt_shardings),
-            extra_vars=jax.device_put(state.extra_vars, self.extra_var_shardings),
-            rng=jnp.asarray(state.rng),
-        )
+        if jax.process_count() > 1:
+            # Restored straight into the live shardings (checkpoint.py's
+            # multi-process path); re-placing via device_put would need
+            # host copies of non-addressable shards.
+            self.state = state
+        else:
+            self.state = TrainState(
+                step=jnp.asarray(state.step),
+                params=jax.device_put(state.params, self.param_shardings),
+                opt_state=jax.device_put(state.opt_state, self.opt_shardings),
+                extra_vars=jax.device_put(state.extra_vars, self.extra_var_shardings),
+                rng=jnp.asarray(state.rng),
+            )
         return step

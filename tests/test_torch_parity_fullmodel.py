@@ -264,6 +264,13 @@ def assert_full_forward_parity(enc_cfg, with_targets, **kwargs):
     o_loss, o_n, o_preds = our_forward_loss(model, params, batch, with_targets)
 
     assert t_n == o_n
+    if o_preds.shape[1] > t_preds.shape[1]:
+        # Deliberate deviation: stacked lengths are tile-aligned to a
+        # multiple of 8 (stack.pad_to_multiple); pad frames must be pinned
+        # to blank log-probs and the valid region must still match torch.
+        pad = np.asarray(o_preds[:, t_preds.shape[1]:, :])
+        assert (pad.argmax(-1) == kwargs.get("blank_id", 0)).all()
+        o_preds = o_preds[:, : t_preds.shape[1]]
     np.testing.assert_allclose(o_preds, t_preds, rtol=1e-4, atol=1e-4)
     # Poisson NLL's exp() amplifies in-tolerance preds drift (XLA CPU
     # fusion/threading variation) into the summed loss — allow the loss the
