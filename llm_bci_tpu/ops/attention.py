@@ -48,8 +48,15 @@ def dot_product_attention(
     """
     if dropout_rate > 0.0 and dropout_rng is not None:
         # Explicit probs path: XLA's fused entry point has no dropout hook.
+        # One up-front transpose to (B, H, T, D) so both einsums are plain
+        # batched matmuls in that layout — leaving q/k/v in (B, T, H, D)
+        # made XLA re-lay-out every operand at the einsum boundaries
+        # (~1.4 ms/step of "data formatting" copies at flagship shapes).
         d = q.shape[-1]
-        logits = jnp.einsum("bthd,bshd->bhts", q, k) / jnp.sqrt(
+        qh = jnp.swapaxes(q, 1, 2)
+        kh = jnp.swapaxes(k, 1, 2)
+        vh = jnp.swapaxes(v, 1, 2)
+        logits = jnp.einsum("bhtd,bhsd->bhts", qh, kh) / jnp.sqrt(
             jnp.asarray(d, q.dtype)
         )
         if is_causal:
@@ -61,7 +68,7 @@ def dot_product_attention(
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
         probs = probs * keep.astype(probs.dtype) / (1.0 - dropout_rate)
-        return jnp.einsum("bhts,bshd->bthd", probs, v)
+        return jnp.swapaxes(jnp.einsum("bhts,bhsd->bhtd", probs, vh), 1, 2)
     if _ATTENTION_IMPL == "pallas":
         from llm_bci_tpu.ops.flash_attention import flash_attention_supported, flash_attention
 

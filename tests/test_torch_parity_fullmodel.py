@@ -177,8 +177,13 @@ def build_our_ndt1(enc_cfg, **kwargs):
 
 
 def copy_weights(tmodel, params):
-    """torch state_dict -> our flax param tree (Linear weights transposed)."""
-    sd = {k: v.detach().cpu().numpy() for k, v in tmodel.state_dict().items()}
+    """torch state_dict -> our flax param tree (Linear weights transposed).
+
+    Real copies, not views: ``.numpy()`` shares the torch buffer and JAX's
+    CPU backend can zero-copy alias numpy arrays — without the ``.copy()``,
+    training the torch model afterwards would silently mutate the "copied"
+    JAX params (bit us in the training-dynamics parity test)."""
+    sd = {k: v.detach().cpu().numpy().copy() for k, v in tmodel.state_dict().items()}
     p = jax.tree_util.tree_map(lambda x: np.array(x), params)
 
     def lin(dst, prefix):
