@@ -325,6 +325,79 @@ def bench_trainer_path(steps: int = 30):
     return metric_free, with_cer
 
 
+def kernel_selftest() -> str:
+    """On-chip Pallas-vs-XLA parity for the two custom kernels.
+
+    CI tests run the kernels in interpret mode only; this check runs the
+    COMPILED Mosaic kernels on the real chip against the XLA reference
+    implementations (values + grads) so lowering regressions surface in the
+    driver-recorded bench JSON. Returns "ok" or raises."""
+    import jax
+    import jax.numpy as jnp
+
+    from llm_bci_tpu.ops.ctc import ctc_loss
+
+    rng = np.random.default_rng(0)
+
+    # --- CTC loss + gradient: Pallas alpha/beta kernel vs the XLA scan.
+    Bc, Tc, V, Sc = 8, 64, 41, 16
+    logits = jnp.asarray(rng.normal(size=(Bc, Tc, V)).astype(np.float32))
+    log_probs = jax.nn.log_softmax(logits, -1)
+    targets = jnp.asarray(rng.integers(1, V, size=(Bc, Sc)).astype(np.int32))
+    in_lens = jnp.asarray(rng.integers(Tc // 2, Tc + 1, size=(Bc,)).astype(np.int32))
+    tgt_lens = jnp.asarray(rng.integers(5, Sc + 1, size=(Bc,)).astype(np.int32))
+
+    def ctc_with(impl):
+        f = lambda lp: ctc_loss(
+            lp, targets, in_lens, tgt_lens, blank_id=0, zero_infinity=True, impl=impl
+        ).sum()
+        loss, grad = jax.jit(jax.value_and_grad(f))(log_probs)
+        return float(jax.device_get(loss)), np.asarray(jax.device_get(grad))
+
+    lx, gx = ctc_with("xla")
+    lp, gp = ctc_with("pallas")
+    np.testing.assert_allclose(lp, lx, rtol=2e-4, atol=1e-4)
+    np.testing.assert_allclose(gp, gx, rtol=2e-3, atol=2e-4)
+
+    # --- Banded flash attention fwd+bwd vs XLA SDPA with the equivalent
+    # dense band+padding mask (no dropout: the in-kernel counter-based mask
+    # has no XLA oracle by design).
+    from llm_bci_tpu.ops.context import create_context_mask
+    from llm_bci_tpu.ops.flash_attention import banded_flash_attention
+
+    Bf, Tf, Hf, Df, fw, bw = 2, 512, 4, 128, 32, 64
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(Bf, Tf, Hf, Df)).astype(np.float32) * 0.3)
+        for _ in range(3)
+    )
+    lengths = rng.integers(Tf // 2, Tf + 1, size=(Bf,))
+    key_valid = jnp.asarray((np.arange(Tf)[None, :] < lengths[:, None]).astype(np.int32))
+    band = jnp.asarray(create_context_mask(fw, bw, Tf)).astype(bool)
+    dense_mask = (band[None, :, :] & key_valid.astype(bool)[:, None, :])[:, None]
+
+    def flash_path(q, k, v):
+        return banded_flash_attention(
+            q, k, v, key_valid=key_valid, context_forward=fw, context_backward=bw
+        )
+
+    def xla_path(q, k, v):
+        return jax.nn.dot_product_attention(q, k, v, mask=dense_mask)
+
+    w = jnp.asarray(rng.normal(size=(Bf, Tf, Hf, Df)).astype(np.float32))
+    loss_of = lambda f: (lambda q, k, v: (f(q, k, v) * w).sum())
+    of, gf = jax.jit(jax.value_and_grad(loss_of(flash_path), argnums=(0, 1, 2)))(q, k, v)
+    ox, gxx = jax.jit(jax.value_and_grad(loss_of(xla_path), argnums=(0, 1, 2)))(q, k, v)
+    np.testing.assert_allclose(
+        float(jax.device_get(of)), float(jax.device_get(ox)), rtol=2e-3
+    )
+    for a, b in zip(gf, gxx):
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(a)), np.asarray(jax.device_get(b)),
+            rtol=2e-2, atol=2e-3,
+        )
+    return "ok"
+
+
 def main():
     import jax
     import optax
@@ -383,6 +456,9 @@ def main():
 
     trainer_sps, trainer_cer_sps = bench_trainer_path()
     mlm_sps = bench_mlm()
+    selftest = kernel_selftest()
+    bci = bench_bci()
+    gen = bench_generate(greedy_only=True)
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
     vs, mlm_vs = 1.0, 1.0
@@ -409,6 +485,11 @@ def main():
                 "mlm_samples_per_sec": round(mlm_sps, 2),
                 # vs the pinned XLA-SDPA mlm baseline: the flash-kernel win
                 "mlm_vs_xla_baseline": round(mlm_vs, 3),
+                # on-chip Pallas-vs-XLA parity of the compiled kernels
+                "kernel_selftest": selftest,
+                # the reference's headline BCI workload + serving decode
+                **bci,
+                **gen,
             }
         )
     )
@@ -470,8 +551,9 @@ def _bci_model_and_batch():
     return model, batch, Bb
 
 
-def main_bci():
-    """BCI end-to-end training step throughput."""
+def bench_bci() -> dict:
+    """BCI end-to-end training step throughput (the reference's headline
+    workload); returns the metrics for the driver-recorded JSON."""
     import jax
     import optax
 
@@ -530,20 +612,34 @@ def main_bci():
         if base:
             vs = samples_per_sec / base
     out = {
-        "metric": "bci_lora_train_samples_per_sec",
-        "value": round(samples_per_sec, 2),
-        "unit": "samples/s/chip",
-        "vs_baseline": round(vs, 3),
+        "bci_lora_samples_per_sec": round(samples_per_sec, 2),
+        "bci_vs_baseline": round(vs, 3),
     }
     if step_flops:
-        out["mfu"] = round((step_flops * ITERS / dt) / _peak_flops(), 4)
-    print(json.dumps(out))
+        out["bci_mfu"] = round((step_flops * ITERS / dt) / _peak_flops(), 4)
+    return out
 
 
-def main_generate():
+def main_bci():
+    out = bench_bci()
+    print(
+        json.dumps(
+            {
+                "metric": "bci_lora_train_samples_per_sec",
+                "value": out["bci_lora_samples_per_sec"],
+                "unit": "samples/s/chip",
+                "vs_baseline": out["bci_vs_baseline"],
+                **({"mfu": out["bci_mfu"]} if "bci_mfu" in out else {}),
+            }
+        )
+    )
+
+
+def bench_generate(greedy_only: bool = False) -> dict:
     """Serving path: jitted KV-cache decode from the spliced neural prompt
     (the eval_phonemes WER surface, reference models/bci.py:224-246).
-    Reports greedy new-tokens/s and diverse-beam(5) sequences/s."""
+    Reports greedy new-tokens/s and diverse-beam(5) sequences/s
+    (``greedy_only`` skips the beam compile — used by the default run)."""
     import jax
 
     _set_rng_impl()
@@ -585,17 +681,23 @@ def main_generate():
         return (time.perf_counter() - t0) / 5
 
     g = timed(greedy)
-    b = timed(beam5)
+    out = {"greedy_tokens_per_sec": round(Bb * NEW / g, 2)}
+    if not greedy_only:
+        b = timed(beam5)
+        out["beam5_sequences_per_sec"] = round(Bb * 5 / b, 2)
+    return out
+
+
+def main_generate():
+    out = bench_generate()
     print(
         json.dumps(
             {
                 "metric": "bci_greedy_decode_tokens_per_sec",
-                "value": round(Bb * NEW / g, 2),
+                "value": out["greedy_tokens_per_sec"],
                 "unit": "new tokens/s/chip",
                 "vs_baseline": 1.0,
-                "beam5_sequences_per_sec": round(Bb * 5 / b, 2),
-                "batch": Bb,
-                "max_new_tokens": NEW,
+                "beam5_sequences_per_sec": out["beam5_sequences_per_sec"],
             }
         )
     )
@@ -606,5 +708,8 @@ if __name__ == "__main__":
         main_bci()
     elif "--workload" in sys.argv and "generate" in sys.argv:
         main_generate()
+    elif "--selftest" in sys.argv:
+        _set_rng_impl()
+        print(json.dumps({"metric": "kernel_selftest", "value": kernel_selftest()}))
     else:
         main()

@@ -159,6 +159,7 @@ class BCI(nn.Module):
             lora_targets=self.lora_targets,
             freeze_base=self.freeze_llm or self.lora_r > 0,
             dtype=self.dtype,
+            remat=bool(cfg.get("llm_remat", False)),
             name="llm",
         )
         proj = cfg["projector"]

@@ -215,11 +215,9 @@ class LlamaAttention(nn.Module):
             new_cache = {"k": k_cache, "v": v_cache}
             k, v = k_cache, v_cache
 
-        if nKV != nH:
-            rep = nH // nKV
-            k = jnp.repeat(k, rep, axis=2)
-            v = jnp.repeat(v, rep, axis=2)
-
+        # GQA: K/V keep their nKV heads — jax.nn.dot_product_attention
+        # broadcasts groups natively (the old jnp.repeat materialized
+        # nH/nKV× the K/V (and KV-cache read) bytes every step).
         out = dot_product_attention(q, k, v, mask=mask)
         out = out.reshape(B, T, nH * hd)
         out = proj("o_proj", H)(out, training)
@@ -288,6 +286,7 @@ class LlamaForCausalLM(nn.Module):
     lora_targets: Tuple[str, ...] = ()
     freeze_base: bool = False
     dtype: Any = jnp.bfloat16
+    remat: bool = False
 
     def setup(self):
         cfg = self.config
@@ -300,8 +299,16 @@ class LlamaForCausalLM(nn.Module):
             param_dtype=self.dtype if self.freeze_base else jnp.float32,
             name="embed_tokens",
         )
+        # remat=True rematerializes each decoder layer in the backward —
+        # activation memory drops from O(L·B·T·H) to O(B·T·H), the standard
+        # trade for fitting 7B-shape fine-tune batches on one chip.
+        layer_cls = (
+            nn.remat(LlamaDecoderLayer, static_argnums=(6,))
+            if self.remat
+            else LlamaDecoderLayer
+        )
         self.layers = [
-            LlamaDecoderLayer(
+            layer_cls(
                 cfg, self.lora_r, self.lora_alpha, self.lora_dropout,
                 self.lora_targets, self.freeze_base, self.dtype, name=f"layers_{i}",
             )

@@ -53,6 +53,13 @@ def dot_product_attention(
         # made XLA re-lay-out every operand at the einsum boundaries
         # (~1.4 ms/step of "data formatting" copies at flagship shapes).
         d = q.shape[-1]
+        if k.shape[2] != q.shape[2]:
+            # Grouped-query attention: broadcast K/V heads logically.
+            # (Only the short dropout-training path pays the repeat; the
+            # eval/serving path below uses XLA's native GQA support.)
+            rep = q.shape[2] // k.shape[2]
+            k = jnp.repeat(k, rep, axis=2)
+            v = jnp.repeat(v, rep, axis=2)
         qh = jnp.swapaxes(q, 1, 2)
         kh = jnp.swapaxes(k, 1, 2)
         vh = jnp.swapaxes(v, 1, 2)

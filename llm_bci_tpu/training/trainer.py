@@ -471,12 +471,14 @@ class Trainer:
     def _prefetch(self, dataloader, depth: int = 2):
         """Batches ready for the step fn, overlapped with compute.
 
-        With ``training.cache_device_batches`` the collated batches are kept
+        With ``training.cache_device_batches`` the collated columns are kept
         resident in HBM after the first pass (speechbci/IBL-scale datasets
-        are a few hundred MB) and later epochs replay them with zero
-        host→device traffic — batch *composition* is frozen after epoch 1,
-        batch *order* still reshuffles. Otherwise batches stream through
-        :meth:`_prefetch_stream` each epoch."""
+        are a few hundred MB) and later epochs re-batch them with a
+        device-side gather over a fresh permutation — example COMPOSITION
+        reshuffles every epoch exactly like the streaming path (the round-2
+        version froze composition after epoch 1, a training-semantics
+        deviation), still with zero host→device traffic. Otherwise batches
+        stream through :meth:`_prefetch_stream` each epoch."""
         if bool(self.config.training.get("cache_device_batches", False)):
             if not hasattr(self, "_device_batch_cache"):
                 self._device_batch_cache = {}
@@ -486,8 +488,8 @@ class Trainer:
             key = id(dataloader)
             entry = self._device_batch_cache.get(key)
             if entry is None or not entry["complete"]:
-                # Only a pass that ran to exhaustion defines the frozen batch
-                # composition; a pass cut short (max_steps mid-epoch, early
+                # Only a pass that ran to exhaustion defines the cached
+                # example pool; a pass cut short (max_steps mid-epoch, early
                 # break) leaves an incomplete entry that is rebuilt — noisily,
                 # so the promised zero-host-traffic replay isn't silently off.
                 if entry is not None:
@@ -506,14 +508,56 @@ class Trainer:
                     yield item
                 entry["complete"] = True
                 return
-            cache = entry["items"]
-            order = np.arange(len(cache))
+
+            if "columns" not in entry:
+                self._build_cache_columns(entry)
+            cols, host_cols, unused_cols, sizes = (
+                entry["columns"], entry["host_columns"],
+                entry["unused_columns"], entry["batch_sizes"],
+            )
+            n = int(sizes.sum())
+            order = np.arange(n)
             if getattr(dataloader, "shuffle", False):
                 self._cache_order_rng.shuffle(order)
-            for i in order:
-                yield cache[i]
+            start = 0
+            for bs in sizes:
+                idx = order[start : start + bs]
+                start += bs
+                dev_idx = jax.device_put(idx, replicated(self.mesh))
+                dev_batch = self._cache_gather(cols, dev_idx)
+                model_inputs = {k: v[idx] for k, v in host_cols.items()}
+                unused = {k: [v[i] for i in idx] for k, v in unused_cols.items()}
+                yield dev_batch, model_inputs, unused
             return
         yield from self._prefetch_stream(dataloader, depth)
+
+    def _build_cache_columns(self, entry) -> None:
+        """Stack the first epoch's cached batches into per-column device
+        arrays (examples axis 0) so later epochs can re-batch by gather."""
+        items = entry["items"]
+        dev_keys = items[0][0].keys()
+        entry["columns"] = {
+            k: jnp.concatenate([it[0][k] for it in items], axis=0) for k in dev_keys
+        }
+        entry["host_columns"] = {
+            k: np.concatenate([np.asarray(it[1][k]) for it in items], axis=0)
+            for k in items[0][1]
+            if isinstance(items[0][1][k], np.ndarray)
+        }
+        entry["unused_columns"] = {
+            k: [row for it in items for row in it[2][k]] for k in items[0][2]
+        }
+        entry["batch_sizes"] = np.asarray(
+            [next(iter(it[0].values())).shape[0] for it in items]
+        )
+        entry["items"] = None  # free the per-batch device buffers
+
+        gather = jax.jit(
+            lambda cols, idx: jax.tree_util.tree_map(
+                lambda x: jnp.take(x, idx, axis=0), cols
+            )
+        )
+        self._cache_gather = gather
 
     def _prefetch_stream(self, dataloader, depth: int = 2):
         """Run collate + host→device transfer in a background thread so the

@@ -125,6 +125,39 @@ def bci_config(tmp_path):
     )
 
 
+def test_llm_remat_same_loss_and_grads():
+    """llm_remat rematerializes decoder layers in the backward — the loss
+    AND gradients must be identical to the non-remat path."""
+    import jax
+    import optax
+
+    from llm_bci_tpu.models.llama import LlamaConfig, LlamaForCausalLM
+
+    cfg = LlamaConfig.debug()
+    rng = np.random.default_rng(0)
+    B, T = 2, 8
+    ids = jnp.asarray(rng.integers(3, cfg.vocab_size, size=(B, T)).astype(np.int32))
+    tgt = jnp.asarray(rng.integers(3, cfg.vocab_size, size=(B, T)).astype(np.int32))
+
+    def loss_for(remat):
+        model = LlamaForCausalLM(cfg, remat=remat, dtype=jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), input_ids=ids)["params"]
+
+        def loss_fn(p):
+            logits, _ = model.apply({"params": p}, input_ids=ids)
+            return optax.softmax_cross_entropy_with_integer_labels(logits, tgt).sum()
+
+        return params, jax.value_and_grad(loss_fn)(params)
+
+    p0, (l0, g0) = loss_for(False)
+    p1, (l1, g1) = loss_for(True)
+    jax.tree_util.tree_map(np.testing.assert_array_equal, p0, p1)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6), g0, g1
+    )
+
+
 def test_bci_trainer_end_to_end(tmp_path):
     import jax
 

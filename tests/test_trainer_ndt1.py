@@ -93,6 +93,46 @@ def test_trainer_mlm_end_to_end(tmp_path):
     assert int(np.asarray(trainer.state.step)) == 2
 
 
+def test_cache_device_batches_reshuffles_composition(tmp_path):
+    """After the first epoch, cached batches are re-batched by a device-side
+    gather over a fresh permutation: composition reshuffles like the
+    streaming path (round-2 deviation fixed), and the gathered device rows
+    must equal the host model_inputs rows handed to metric fns."""
+    from llm_bci_tpu.training import Trainer
+
+    cfg = base_config(tmp_path)
+    cfg["training"]["cache_device_batches"] = True
+    cfg["training"]["max_steps"] = 100  # don't cut the caching pass short
+    trainer = Trainer(cfg, dataset=synth_dataset(n_train=24))
+
+    def epoch_batches():
+        out = []
+        for dev_batch, model_inputs, unused in trainer._prefetch(
+            trainer.train_dataloader
+        ):
+            np.testing.assert_allclose(
+                np.asarray(dev_batch["spikes"]), model_inputs["spikes"], rtol=1e-6
+            )
+            out.append(np.asarray(model_inputs["spikes"]))
+        return out
+
+    e1, e2, e3 = epoch_batches(), epoch_batches(), epoch_batches()
+    # same example pool each epoch...
+    for e in (e2, e3):
+        a = np.sort(np.concatenate(e1, 0).reshape(24, -1), axis=0)
+        b = np.sort(np.concatenate(e, 0).reshape(24, -1), axis=0)
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+    # ...but at least one batch's composition changed (24 examples / bs 8:
+    # the chance a fresh permutation reproduces the same 3 groups is ~1e-9)
+    assert any(
+        not np.allclose(np.sort(a.reshape(8, -1), 0), np.sort(b.reshape(8, -1), 0))
+        for a, b in zip(e2, e3)
+    ) or any(
+        not np.allclose(np.sort(a.reshape(8, -1), 0), np.sort(b.reshape(8, -1), 0))
+        for a, b in zip(e1, e2)
+    )
+
+
 def test_trainer_fsdp_mesh(tmp_path):
     """Same run on a 2x4 (data, fsdp) mesh — exercises param sharding."""
     from llm_bci_tpu.training import Trainer
