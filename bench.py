@@ -159,7 +159,10 @@ def _trainer_cer_metric(vocab, blank_id=0):
     def cer(model, model_inputs, unused_inputs, outputs, **kwargs):
         # Device-side argmax: one (B, T') int transfer instead of the full
         # (B, T', V) f32 logits (matches main.py's CER).
-        preds = np.asarray(outputs["preds"].argmax(-1))
+        prepared = kwargs.get("prepared")
+        preds = np.asarray(
+            prepared if prepared is not None else outputs["preds"].argmax(-1)
+        )
         errors, words = 0, 0
         for i in range(preds.shape[0]):
             pred_str = " ".join(format_ctc(preds[i], vocab, blank_id))
@@ -168,6 +171,9 @@ def _trainer_cer_metric(vocab, blank_id=0):
             words += w
         return errors / max(words, 1)
 
+    # Queue the argmax behind the train step so the lagged drain is a pure
+    # transfer (Trainer's prepare protocol).
+    cer.prepare = lambda outputs: outputs["preds"].argmax(-1)
     return cer
 
 
@@ -555,9 +561,15 @@ def _bci_model_and_batch():
     return model, batch, Bb
 
 
-def bench_bci() -> dict:
+def bench_bci(chain: int = 1) -> dict:
     """BCI end-to-end training step throughput (the reference's headline
-    workload); returns the metrics for the driver-recorded JSON."""
+    workload); returns the metrics for the driver-recorded JSON.
+
+    ``chain`` > 1 runs that many optimizer steps inside ONE jitted
+    ``lax.scan`` call (same batch — throughput experiment for the per-call
+    dispatch gap: the ~19 ms BCI step showed 14.5 ms device vs 18.7 ms wall,
+    i.e. ~4 ms/step of host dispatch + relay overhead a chained program
+    amortizes 1/K)."""
     import jax
     import optax
 
@@ -594,14 +606,37 @@ def bench_bci() -> dict:
         )
         return new_params, opt_state2, rng2, loss
 
+    if chain > 1:
+        one_step = train_step.__wrapped__  # undecorated body
+
+        # batches NOT donated: the timing loop re-feeds the same buffer.
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def train_step(params, opt_state, rng, batches):
+            # Real K-step semantics: scan over K stacked batches, one
+            # optimizer step each — a single device program per K steps.
+            def body(carry, b):
+                p, o, r = carry
+                p, o, r, loss = one_step(p, o, r, b)
+                return (p, o, r), loss
+
+            (params, opt_state, rng), losses = jax.lax.scan(
+                body, (params, opt_state, rng), batches
+            )
+            return params, opt_state, rng, losses[-1]
+
+        batch = {
+            k: np.broadcast_to(v, (chain,) + np.shape(v)).copy()
+            for k, v in batch.items()
+        }
+
     dev_batch = jax.device_put(batch)
     key = jax.random.PRNGKey(1)
     step_flops = _compiled_flops(train_step, params, opt_state, key, dev_batch)
     # Longer window than the flagship loop: the ~19 ms BCI step needs ~20
     # iters before relay warmup/throttle noise stops dominating (10-iter
     # windows measured ~12% low).
-    iters = 2 * ITERS
-    for _ in range(WARMUP):
+    iters = max(2 * ITERS // chain, 5)
+    for _ in range(max(WARMUP // chain, 2)):
         params, opt_state, key, loss = train_step(params, opt_state, key, dev_batch)
     float(jax.device_get(loss))
     t0 = time.perf_counter()
@@ -610,7 +645,7 @@ def bench_bci() -> dict:
     final_loss = float(jax.device_get(loss))
     dt = time.perf_counter() - t0
     assert np.isfinite(final_loss)
-    samples_per_sec = Bb * iters / dt
+    samples_per_sec = Bb * iters * chain / dt
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
     )
@@ -629,7 +664,10 @@ def bench_bci() -> dict:
 
 
 def main_bci():
-    out = bench_bci()
+    chain = 1
+    if "--chain" in sys.argv:
+        chain = int(sys.argv[sys.argv.index("--chain") + 1])
+    out = bench_bci(chain=chain)
     print(
         json.dumps(
             {

@@ -712,12 +712,27 @@ class Trainer:
         # compute. Values and their step labels are unchanged, only WHEN
         # they are read moves. `pending` is drained before every averaging /
         # reset boundary so nothing is dropped or double-counted.
+        #
+        # Device-FIFO subtlety: device work a metric fn dispatches at drain
+        # time (e.g. an argmax on the logits) queues BEHIND the in-flight
+        # step and re-serializes the loop. A metric fn may therefore expose
+        # ``fn.prepare(outputs) -> device_value``: called immediately after
+        # the step dispatch (so its device work runs right after that step),
+        # with the result handed back at drain time as ``prepared=...`` —
+        # by then it is a ready buffer and np.asarray is a pure transfer.
         pending = None
+
+        def make_prepared(outputs):
+            return {
+                name: fn.prepare(outputs)
+                for name, fn in self.metric_fns.items()
+                if hasattr(fn, "prepare")
+            }
 
         def drain(p):
             if p is None:
                 return
-            p_step, p_inputs, p_unused, p_outputs = p
+            p_step, p_inputs, p_unused, p_outputs, p_prepared = p
             if self.writer is not None:
                 loss_v = float(np.asarray(p_outputs["loss"]))
                 n_v = float(np.asarray(p_outputs["n_examples"]))
@@ -726,13 +741,16 @@ class Trainer:
                 )
             for name, fn in self.metric_fns.items():
                 # Device arrays, not host copies — see evaluate().
+                kwargs = dict(self.metric_kwargs)
+                if name in p_prepared:
+                    kwargs["prepared"] = p_prepared[name]
                 val = float(
                     fn(
                         self.model_handle,
                         p_inputs,
                         p_unused,
                         p_outputs,
-                        **self.metric_kwargs,
+                        **kwargs,
                     )
                 )
                 train_metrics[name].append(val)
@@ -770,7 +788,13 @@ class Trainer:
 
                 # Read back step t−1's metrics while step t runs on device.
                 drain(pending)
-                pending = (global_step, model_inputs, unused_inputs, outputs)
+                pending = (
+                    global_step,
+                    model_inputs,
+                    unused_inputs,
+                    outputs,
+                    make_prepared(outputs),
+                )
 
                 if (
                     config.training.eval_every

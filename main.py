@@ -5,8 +5,10 @@ Rebuilds the reference ``main.py:16-247``: config merge, dataset dispatch
 vocab, stat-behaviour label remap, context-length pinning, ``n_channels``
 inference), and metric-fn construction (accuracy / CER / assisted-WER).
 
-Metric fns receive host numpy arrays per the trainer protocol
-(``llm_bci_tpu/training/trainer.py``).
+Metric fns receive JAX device arrays per the trainer protocol
+(``llm_bci_tpu/training/trainer.py``); fns with a ``.prepare`` attribute get
+their device reduction dispatched right behind the train step (see
+PARITY.md "Documented protocol deviations").
 """
 from __future__ import annotations
 
@@ -116,10 +118,16 @@ def main(args):
 
         def accuracy(model, model_inputs, unused_inputs, outputs, **kwargs):
             # argmax on device: ships (B,) ints instead of the (B, C) logits.
-            preds = np.asarray(outputs["preds"].argmax(-1))
+            prepared = kwargs.get("prepared")
+            preds = np.asarray(
+                prepared if prepared is not None else outputs["preds"].argmax(-1)
+            )
             targets = np.asarray(model_inputs["targets"])[:, 0]
             return (preds == targets).sum() / preds.shape[0]
 
+        # Dispatch the argmax right behind the train step in the device FIFO
+        # so the lagged drain only transfers a ready (B,) buffer.
+        accuracy.prepare = lambda outputs: outputs["preds"].argmax(-1)
         metric_fns["accuracy"] = accuracy
 
     # ------------------------------------------------------ CTC CER metric
@@ -130,8 +138,12 @@ def main(args):
                 # argmax on device, then ONE host transfer of (B, T') ints —
                 # iterating format_ctc over a device array would sync per
                 # element, and pulling the raw (B, T', V) f32 logits is ~160x
-                # the bytes.
-                preds = np.asarray(outputs["preds"].argmax(-1))
+                # the bytes. ``prepared`` carries the argmax dispatched right
+                # after the train step (Trainer's lagged-metric protocol).
+                prepared = kwargs.get("prepared")
+                preds = np.asarray(
+                    prepared if prepared is not None else outputs["preds"].argmax(-1)
+                )
                 pred_strs = [" ".join(format_ctc(p, vocab, blank_id)) for p in preds]
                 phonemes = [" ".join(p) for p in unused_inputs["phonemes"]]
                 errors, n_phonemes = word_error_count(pred_strs, phonemes)
@@ -152,6 +164,7 @@ def main(args):
             kwargs = {**kwargs, "n_print": 0}
             return make_cer()(model, model_inputs, unused_inputs, outputs, **kwargs)
 
+        train_cer.prepare = lambda outputs: outputs["preds"].argmax(-1)
         metric_fns["CER"] = train_cer
         eval_metric_fns["CER"] = make_cer(1)
 
@@ -159,7 +172,10 @@ def main(args):
     if config.method.model_kwargs.method_name == "endtoend":
 
         def assisted_wer(model, model_inputs, unused_inputs, outputs, **kwargs):
-            preds = np.asarray(outputs["preds"].argmax(-1))[:, :-1]
+            prepared = kwargs.get("prepared")
+            preds = np.asarray(
+                prepared if prepared is not None else outputs["preds"].argmax(-1)
+            )[:, :-1]
             targets = np.asarray(outputs["targets"])[:, 1:]
             pred_sentences = [
                 tokenizer.decode(p[t != -100], skip_special_tokens=True)
@@ -169,6 +185,7 @@ def main(args):
             errors, n_words = word_error_count(pred_sentences, target_sentences)
             return errors / n_words
 
+        assisted_wer.prepare = lambda outputs: outputs["preds"].argmax(-1)
         metric_fns["A-WER"] = assisted_wer
 
     # ------------------------------------- dataset-dependent config surgery

@@ -304,3 +304,39 @@ def test_halt_on_nonfinite_loss(tmp_path):
     trainer = Trainer(cfg, dataset=synth_dataset())
     with pytest.raises(FloatingPointError, match="Non-finite loss"):
         trainer.train()
+
+
+def test_lagged_metric_prepare_protocol(tmp_path):
+    """Train metric fns run one step late; a fn exposing .prepare(outputs)
+    must get its device value back as prepared=..., once per step, and the
+    prepared value must equal what the fn would compute itself."""
+    from llm_bci_tpu.training import Trainer
+
+    calls = {"prepare": 0, "fn": 0, "mismatch": 0, "missing": 0}
+
+    def mean_rate(model, model_inputs, unused_inputs, outputs, **kw):
+        calls["fn"] += 1
+        prepared = kw.get("prepared")
+        if prepared is None:
+            calls["missing"] += 1
+            return 0.0
+        direct = np.asarray(outputs["preds"].mean())
+        if not np.allclose(np.asarray(prepared), direct, rtol=1e-6):
+            calls["mismatch"] += 1
+        return float(np.asarray(prepared))
+
+    def prepare(outputs):
+        calls["prepare"] += 1
+        return outputs["preds"].mean()
+
+    mean_rate.prepare = prepare
+
+    cfg = base_config(tmp_path)
+    cfg["training"]["num_epochs"] = 2     # 2 steps/epoch at B=8, n=16
+    cfg["training"]["max_steps"] = 3
+    trainer = Trainer(cfg, dataset=synth_dataset(), metric_fns={"rate": mean_rate})
+    trainer.train()
+    assert calls["prepare"] == 3
+    assert calls["fn"] == 3          # every step drained exactly once
+    assert calls["missing"] == 0     # prepared handed through on each drain
+    assert calls["mismatch"] == 0    # lagged value matches direct compute
