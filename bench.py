@@ -606,6 +606,8 @@ def bench_bci(chain: int = 1) -> dict:
         )
         return new_params, opt_state2, rng2, loss
 
+    single_step = train_step
+    single_batch = batch
     if chain > 1:
         one_step = train_step.__wrapped__  # undecorated body
 
@@ -631,7 +633,20 @@ def bench_bci(chain: int = 1) -> dict:
 
     dev_batch = jax.device_put(batch)
     key = jax.random.PRNGKey(1)
-    step_flops = _compiled_flops(train_step, params, opt_state, key, dev_batch)
+    if chain > 1:
+        # XLA cost analysis counts a scanned while-body ONCE — take the
+        # single step's flops from its UNOPTIMIZED lowering (no compile)
+        # and scale by the trip count.
+        try:
+            step_flops = chain * float(
+                single_step.lower(
+                    params, opt_state, key, single_batch
+                ).cost_analysis()["flops"]
+            )
+        except Exception:
+            step_flops = None
+    else:
+        step_flops = _compiled_flops(train_step, params, opt_state, key, dev_batch)
     # Longer window than the flagship loop: the ~19 ms BCI step needs ~20
     # iters before relay warmup/throttle noise stops dominating (10-iter
     # windows measured ~12% low).

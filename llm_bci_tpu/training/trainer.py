@@ -466,6 +466,29 @@ class Trainer:
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
         self._eval_step = jax.jit(eval_step)
 
+        # training.chain_steps = K > 1: one device program runs K optimizer
+        # steps via lax.scan over K stacked batches — semantics identical to
+        # K single steps (same RNG threading, per-step tx.update), but the
+        # per-call dispatch overhead is paid once per K (the standard TPU
+        # scan-over-steps pattern; worth ~6% on the BCI workload where the
+        # large frozen-param pytree makes launches heavy). Memory: the K
+        # per-step output pytrees (incl. preds) are alive simultaneously —
+        # keep K modest for big-vocab heads.
+        self._chain_steps = int(self.config.training.get("chain_steps", 1) or 1)
+        if self._chain_steps > 1:
+            def train_step_chained(state: TrainState, batches):
+                # scan body IS train_step: (carry, x) -> (carry, y)
+                return jax.lax.scan(train_step, state, batches)
+
+            self._train_step_chained = jax.jit(
+                train_step_chained, donate_argnums=(0,)
+            )
+            self._chain_stack = jax.jit(
+                lambda *bs: jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *bs
+                )
+            )
+
     # ----------------------------------------------------------- data → dev
 
     def _prefetch(self, dataloader, depth: int = 2):
@@ -720,7 +743,7 @@ class Trainer:
         # the step dispatch (so its device work runs right after that step),
         # with the result handed back at drain time as ``prepared=...`` —
         # by then it is a ready buffer and np.asarray is a pure transfer.
-        pending = None
+        pending: list = []
 
         def make_prepared(outputs):
             return {
@@ -729,39 +752,224 @@ class Trainer:
                 if hasattr(fn, "prepare")
             }
 
-        def drain(p):
-            if p is None:
-                return
-            p_step, p_inputs, p_unused, p_outputs, p_prepared = p
-            if self.writer is not None:
-                loss_v = float(np.asarray(p_outputs["loss"]))
-                n_v = float(np.asarray(p_outputs["n_examples"]))
-                self.writer.add_scalar(
-                    "Loss/train_iter", loss_v / n_v if n_v > 0 else 0.0, p_step
-                )
-            for name, fn in self.metric_fns.items():
-                # Device arrays, not host copies — see evaluate().
-                kwargs = dict(self.metric_kwargs)
-                if name in p_prepared:
-                    kwargs["prepared"] = p_prepared[name]
-                val = float(
-                    fn(
-                        self.model_handle,
-                        p_inputs,
-                        p_unused,
-                        p_outputs,
-                        **kwargs,
-                    )
-                )
-                train_metrics[name].append(val)
+        def drain(entries):
+            for p in entries or []:
+                p_step, p_inputs, p_unused, p_outputs, p_prepared = p
                 if self.writer is not None:
-                    self.writer.add_scalar(f"{name}/train_iter", val, p_step)
+                    loss_v = float(np.asarray(p_outputs["loss"]))
+                    n_v = float(np.asarray(p_outputs["n_examples"]))
+                    self.writer.add_scalar(
+                        "Loss/train_iter", loss_v / n_v if n_v > 0 else 0.0, p_step
+                    )
+                for name, fn in self.metric_fns.items():
+                    # Device arrays, not host copies — see evaluate().
+                    kwargs = dict(self.metric_kwargs)
+                    if name in p_prepared:
+                        kwargs["prepared"] = p_prepared[name]
+                    val = float(
+                        fn(
+                            self.model_handle,
+                            p_inputs,
+                            p_unused,
+                            p_outputs,
+                            **kwargs,
+                        )
+                    )
+                    train_metrics[name].append(val)
+                    if self.writer is not None:
+                        self.writer.add_scalar(f"{name}/train_iter", val, p_step)
+
+        K = self._chain_steps
+
+        def chain_cap(g: int) -> int:
+            """Longest chain starting at logical step ``g`` whose INTERIOR
+            crosses no eval/save/profile/budget boundary (a boundary may be
+            the chain's LAST step — its bookkeeping runs after the chained
+            program, exactly as it would after a single step)."""
+            cap = min(K, total_budget - g + 1)
+            for cad in (config.training.eval_every, config.training.save_every):
+                if cad:
+                    cap = min(cap, int(cad) - ((g - 1) % int(cad)))
+            if profile_cfg and profile_cfg.get("start_step") is not None:
+                s = int(profile_cfg["start_step"])
+                stop_s = s + int(profile_cfg.get("num_steps", 5))
+                if g < s:
+                    cap = min(cap, s - g)
+                elif g <= stop_s:
+                    cap = 1  # the profiled window runs single steps
+            return max(cap, 1)
+
+        def batch_sig(db):
+            return tuple(
+                sorted((k, tuple(v.shape), str(v.dtype)) for k, v in db.items())
+            )
+
+        def after_step(g: int) -> bool:
+            """Eval / save / budget bookkeeping for logical step ``g``;
+            returns True when the step budget is exhausted."""
+            nonlocal pending, train_loss, train_examples, train_metrics
+            nonlocal window_t0, window_samples
+
+            if (
+                config.training.eval_every
+                and g % config.training.eval_every == 0
+            ):
+                self.print_v(f"Evaluation at step {g}", verbosity=1)
+                # Snapshot the training-window clock BEFORE the eval pass
+                # so the samples/s counter measures training only.
+                dt = time.perf_counter() - window_t0
+                # Flush the current step's lagged metrics before averaging.
+                drain(pending)
+                pending = []
+                test_avg_loss, test_avg_metrics = self.evaluate(self.eval_metric_fns)
+                # Entries are scalars (single steps) or (K,) vectors
+                # (chained calls) — reduce each before totalling.
+                total_examples = float(
+                    sum(float(np.sum(np.asarray(x))) for x in train_examples)
+                )
+                train_avg_loss = (
+                    sum(float(np.sum(np.asarray(x))) for x in train_loss)
+                    / total_examples
+                    if total_examples > 0
+                    else 0.0
+                )
+                train_avg_metrics = {
+                    k: (sum(v) / len(v) if v else 0.0)
+                    for k, v in train_metrics.items()
+                }
+                throughput = window_samples / dt if dt > 0 else 0.0
+                self.print_v(
+                    f"savestring={self.savestring} global_step={g}:\n"
+                    f"train_avg_loss={train_avg_loss} train_avg_metrics={train_avg_metrics}\n"
+                    f"test_avg_loss={test_avg_loss} test_avg_metrics={test_avg_metrics}\n"
+                    f"throughput={throughput:.1f} samples/s (train steps only)",
+                    verbosity=1,
+                )
+                if self.writer is not None:
+                    self.writer.add_scalar(
+                        "throughput/samples_per_sec", throughput, g
+                    )
+                window_t0 = time.perf_counter()
+                window_samples = 0
+                if self.writer is not None:
+                    self.writer.add_scalar("Loss/train", train_avg_loss, g)
+                    for name, v in train_avg_metrics.items():
+                        self.writer.add_scalar(f"{name}/train", v, g)
+                    self.writer.add_scalar("Loss/test", test_avg_loss, g)
+                    for name, v in test_avg_metrics.items():
+                        self.writer.add_scalar(f"{name}/test", v, g)
+                if self.wandb is not None:
+                    self.wandb.log(
+                        {
+                            "step": g,
+                            "train_avg_loss": train_avg_loss,
+                            **train_avg_metrics,
+                            "test_avg_loss": test_avg_loss,
+                            **test_avg_metrics,
+                        }
+                    )
+                train_loss, train_examples = [], []
+                train_metrics = {name: [] for name in self.metric_fns}
+
+                # Failure detection (SURVEY.md §5: the reference has
+                # none): a diverged run burns accelerator time silently.
+                # The check rides the eval boundary — the losses are
+                # already on host here, so the hot loop stays async.
+                if halt_on_nonfinite and not (
+                    np.isfinite(train_avg_loss) and np.isfinite(test_avg_loss)
+                ):
+                    if self.writer is not None:
+                        self.writer.flush()
+                    raise FloatingPointError(
+                        f"Non-finite loss at step {g} "
+                        f"(train={train_avg_loss}, test={test_avg_loss}); "
+                        "halting. Resume from the last finite checkpoint "
+                        "with training.resume=true."
+                    )
+
+            if (
+                config.training.save_every
+                and g % config.training.save_every == 0
+            ):
+                self.save_checkpoint(f"STEP{g}")
+
+            if g >= total_budget:
+                self.print_v(
+                    "Reached max_steps" if max_steps else "Step budget done",
+                    verbosity=1,
+                )
+                drain(pending)
+                pending = []
+                if self.writer is not None:
+                    self.writer.flush()
+                return True
+            return False
 
         for epoch in range(min(start_epoch, n_epochs), n_epochs + 1):
             self.print_v(f"Epoch {epoch}", verbosity=1)
-            for dev_batch, model_inputs, unused_inputs in self._prefetch(
-                self.train_dataloader
-            ):
+            stream = iter(self._prefetch(self.train_dataloader))
+            buf: list = []
+            exhausted = False
+            while True:
+                want = K if (K > 1 and chain_cap(global_step) >= K) else 1
+                while len(buf) < want and not exhausted:
+                    try:
+                        buf.append(next(stream))
+                    except StopIteration:
+                        exhausted = True
+                if not buf:
+                    break
+
+                group = None
+                if (
+                    want == K
+                    and K > 1
+                    and len(buf) >= K
+                    and all(
+                        batch_sig(b[0]) == batch_sig(buf[0][0]) for b in buf[1:K]
+                    )
+                ):
+                    # One program, K optimizer steps (scan-over-steps).
+                    # Only exact-K groups chain — shorter runs (boundary
+                    # proximity, shape change, epoch tail) go through the
+                    # single-step program, so exactly two executables exist.
+                    group = buf[:K]
+                    del buf[:K]
+
+                if group is not None:
+                    stacked = self._chain_stack(*[it[0] for it in group])
+                    self.state, outs = self._train_step_chained(
+                        self.state, stacked
+                    )
+                    # Per-step (K,) device vectors; summed like scalars at
+                    # the averaging boundary.
+                    train_loss.append(outs["loss"])
+                    train_examples.append(outs["n_examples"])
+                    window_samples += sum(
+                        next(iter(it[0].values())).shape[0] for it in group
+                    )
+                    drain(pending)
+                    pending = []
+                    for j, (_db, mi, ui) in enumerate(group):
+                        outputs_j = {k2: v[j] for k2, v in outs.items()}
+                        pending.append(
+                            (
+                                global_step + j,
+                                mi,
+                                ui,
+                                outputs_j,
+                                make_prepared(outputs_j),
+                            )
+                        )
+                    stop = False
+                    for _ in range(len(group)):
+                        stop = after_step(global_step)
+                        if stop:
+                            return
+                        global_step += 1
+                    continue
+
+                dev_batch, model_inputs, unused_inputs = buf.pop(0)
                 if profile_cfg and global_step == profile_cfg.get("start_step"):
                     jax.profiler.start_trace(
                         profile_cfg.get("dir", "profiles"),
@@ -788,109 +996,22 @@ class Trainer:
 
                 # Read back step t−1's metrics while step t runs on device.
                 drain(pending)
-                pending = (
-                    global_step,
-                    model_inputs,
-                    unused_inputs,
-                    outputs,
-                    make_prepared(outputs),
-                )
-
-                if (
-                    config.training.eval_every
-                    and global_step % config.training.eval_every == 0
-                ):
-                    self.print_v(f"Evaluation at step {global_step}", verbosity=1)
-                    # Snapshot the training-window clock BEFORE the eval pass
-                    # so the samples/s counter measures training only.
-                    dt = time.perf_counter() - window_t0
-                    # Flush the current step's lagged metrics before averaging.
-                    drain(pending)
-                    pending = None
-                    test_avg_loss, test_avg_metrics = self.evaluate(self.eval_metric_fns)
-                    total_examples = float(
-                        np.sum([np.asarray(x) for x in train_examples])
+                pending = [
+                    (
+                        global_step,
+                        model_inputs,
+                        unused_inputs,
+                        outputs,
+                        make_prepared(outputs),
                     )
-                    train_avg_loss = (
-                        float(np.sum([np.asarray(x) for x in train_loss]))
-                        / total_examples
-                        if total_examples > 0
-                        else 0.0
-                    )
-                    train_avg_metrics = {
-                        k: (sum(v) / len(v) if v else 0.0)
-                        for k, v in train_metrics.items()
-                    }
-                    throughput = window_samples / dt if dt > 0 else 0.0
-                    self.print_v(
-                        f"savestring={self.savestring} global_step={global_step}:\n"
-                        f"train_avg_loss={train_avg_loss} train_avg_metrics={train_avg_metrics}\n"
-                        f"test_avg_loss={test_avg_loss} test_avg_metrics={test_avg_metrics}\n"
-                        f"throughput={throughput:.1f} samples/s (train steps only)",
-                        verbosity=1,
-                    )
-                    if self.writer is not None:
-                        self.writer.add_scalar(
-                            "throughput/samples_per_sec", throughput, global_step
-                        )
-                    window_t0 = time.perf_counter()
-                    window_samples = 0
-                    if self.writer is not None:
-                        self.writer.add_scalar("Loss/train", train_avg_loss, global_step)
-                        for name, v in train_avg_metrics.items():
-                            self.writer.add_scalar(f"{name}/train", v, global_step)
-                        self.writer.add_scalar("Loss/test", test_avg_loss, global_step)
-                        for name, v in test_avg_metrics.items():
-                            self.writer.add_scalar(f"{name}/test", v, global_step)
-                    if self.wandb is not None:
-                        self.wandb.log(
-                            {
-                                "step": global_step,
-                                "train_avg_loss": train_avg_loss,
-                                **train_avg_metrics,
-                                "test_avg_loss": test_avg_loss,
-                                **test_avg_metrics,
-                            }
-                        )
-                    train_loss, train_examples = [], []
-                    train_metrics = {name: [] for name in self.metric_fns}
+                ]
 
-                    # Failure detection (SURVEY.md §5: the reference has
-                    # none): a diverged run burns accelerator time silently.
-                    # The check rides the eval boundary — the losses are
-                    # already on host here, so the hot loop stays async.
-                    if halt_on_nonfinite and not (
-                        np.isfinite(train_avg_loss) and np.isfinite(test_avg_loss)
-                    ):
-                        if self.writer is not None:
-                            self.writer.flush()
-                        raise FloatingPointError(
-                            f"Non-finite loss at step {global_step} "
-                            f"(train={train_avg_loss}, test={test_avg_loss}); "
-                            "halting. Resume from the last finite checkpoint "
-                            "with training.resume=true."
-                        )
-
-                if (
-                    config.training.save_every
-                    and global_step % config.training.save_every == 0
-                ):
-                    self.save_checkpoint(f"STEP{global_step}")
-
-                global_step += 1
-                if global_step > total_budget:
-                    self.print_v(
-                        "Reached max_steps" if max_steps else "Step budget done",
-                        verbosity=1,
-                    )
-                    drain(pending)
-                    pending = None
-                    if self.writer is not None:
-                        self.writer.flush()
+                if after_step(global_step):
                     return
+                global_step += 1
 
         drain(pending)
-        pending = None
+        pending = []
         if self.writer is not None:
             self.writer.flush()
             self.writer.close()

@@ -340,3 +340,40 @@ def test_lagged_metric_prepare_protocol(tmp_path):
     assert calls["fn"] == 3          # every step drained exactly once
     assert calls["missing"] == 0     # prepared handed through on each drain
     assert calls["mismatch"] == 0    # lagged value matches direct compute
+
+
+def test_chain_steps_matches_single_step_training(tmp_path):
+    """training.chain_steps=2 (K steps per lax.scan program) must reproduce
+    the single-step path exactly: same RNG threading, same per-step
+    tx.update, same final params/step — only the dispatch granularity
+    changes. Uses an uneven cadence (eval_every=3) so chains are capped at
+    boundaries and the epoch tail falls back to single steps."""
+    from llm_bci_tpu.training import Trainer
+
+    def run(chain):
+        cfg = base_config(tmp_path / f"c{chain}")
+        cfg["training"]["num_epochs"] = 4       # 2 steps/epoch at B=8, n=16
+        cfg["training"]["max_steps"] = 7
+        cfg["training"]["eval_every"] = 3
+        cfg["training"]["chain_steps"] = chain
+        seen = []
+
+        def rate(model, mi, ui, outputs, **kw):
+            seen.append(float(np.asarray(outputs["loss"])))
+            return seen[-1]
+
+        t = Trainer(cfg, dataset=synth_dataset(), metric_fns={"rate": rate})
+        t.train()
+        return t, seen
+
+    t1, seen1 = run(1)
+    t2, seen2 = run(2)
+    assert int(np.asarray(t1.state.step)) == 7
+    assert int(np.asarray(t2.state.step)) == 7
+    # 7 train drains + eval-pass calls; identical call pattern either way
+    assert len(seen1) == len(seen2)
+    np.testing.assert_allclose(np.asarray(seen1), np.asarray(seen2), rtol=1e-5)
+    for a, b in zip(jax_leaves(t1.state.params), jax_leaves(t2.state.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+        )
