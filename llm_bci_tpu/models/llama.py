@@ -95,7 +95,9 @@ class LoRADense(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, training: bool = False, defer_lora: bool = False
+    ):
         in_features = x.shape[-1]
         frozen = self.r > 0 or self.freeze_base
         # Frozen base params are STORED in compute dtype (the reference casts
@@ -132,9 +134,59 @@ class LoRADense(nn.Module):
             b = self.param("lora_B", nn.initializers.zeros, (self.r, self.features)).astype(
                 self.dtype
             )
+            if defer_lora:
+                # Caller computes the adapter delta itself (grouped with its
+                # siblings — see apply_lora_group); params stay under this
+                # module's scope so checkpoints/HF import are unchanged.
+                return y, a, b
             h = nn.Dropout(self.lora_dropout, deterministic=not training)(x)
             y = y + (self.alpha / self.r) * ((h @ a) @ b)
+        if defer_lora:
+            return y, None, None
         return y
+
+
+def apply_lora_group(
+    x: jax.Array,
+    deferred,                      # sequence of (y_base, a|None, b|None)
+    *,
+    alpha: float,
+    r: int,
+    dropout_fn=None,               # callable x→drop(x); None = identity
+):
+    """Apply the LoRA deltas of several same-input projections as ONE pair
+    of matmuls: ``h = drop(x) @ [A_1 … A_g]`` then
+    ``Δ = h @ blockdiag(B_1 … B_g)``, split back per projection.
+
+    Rationale: rank-8 adapters emit (B, T, 8) intermediates whose <128-lane
+    layout forces XLA relayout copies around every adapter (~0.9 ms/step of
+    the BCI profile); grouping q/k/v (and gate/up) reads ``x`` once and cuts
+    the tiny-tensor op count 3→1. Exactly equivalent to per-adapter
+    application except under ``lora_dropout > 0`` while training, where the
+    group shares one input keep-mask (peft draws an independent mask per
+    adapter — documented deviation, same marginal rate).
+    """
+    loras = [(i, a, b) for i, (_, a, b) in enumerate(deferred) if a is not None]
+    outs = [y for y, _, _ in deferred]
+    if not loras:
+        return outs
+    if dropout_fn is None:
+        dropout_fn = lambda v: v
+    if len(loras) == 1:
+        i, a, b = loras[0]
+        h = dropout_fn(x)
+        outs[i] = outs[i] + (alpha / r) * ((h @ a) @ b)
+        return outs
+    a_cat = jnp.concatenate([a for _, a, _ in loras], axis=1)      # (H, g·r)
+    feats = [b.shape[1] for _, _, b in loras]
+    b_bd = jax.scipy.linalg.block_diag(*[b for _, _, b in loras])  # (g·r, ΣF)
+    h = dropout_fn(x)
+    delta = (alpha / r) * ((h @ a_cat) @ b_bd)                     # (B, T, ΣF)
+    off = 0
+    for (i, _, _), f in zip(loras, feats):
+        outs[i] = outs[i] + delta[..., off : off + f]
+        off += f
+    return outs
 
 
 def lora_trainable_mask(params: Any, freeze_all_base: bool) -> Any:
@@ -196,9 +248,20 @@ class LlamaAttention(nn.Module):
                 freeze_base=self.freeze_base, dtype=self.dtype, name=name,
             )
 
-        q = proj("q_proj", nH * hd)(x, training).reshape(B, T, nH, hd)
-        k = proj("k_proj", nKV * hd)(x, training).reshape(B, T, nKV, hd)
-        v = proj("v_proj", nKV * hd)(x, training).reshape(B, T, nKV, hd)
+        # q/k/v share input x: their LoRA deltas fuse into one grouped
+        # matmul pair (see apply_lora_group).
+        qd = proj("q_proj", nH * hd)(x, training, defer_lora=True)
+        kd = proj("k_proj", nKV * hd)(x, training, defer_lora=True)
+        vd = proj("v_proj", nKV * hd)(x, training, defer_lora=True)
+        drop = nn.Dropout(self.lora_dropout)
+        q, k, v = apply_lora_group(
+            x, (qd, kd, vd),
+            alpha=self.lora_alpha, r=max(self.lora_r, 1),
+            dropout_fn=lambda v: drop(v, deterministic=not training),
+        )
+        q = q.reshape(B, T, nH, hd)
+        k = k.reshape(B, T, nKV, hd)
+        v = v.reshape(B, T, nKV, hd)
 
         cos, sin = rope_cos_sin(hd, cfg.max_position_embeddings, cfg.rope_theta)
         qh = q.transpose(0, 2, 1, 3)
@@ -244,8 +307,14 @@ class LlamaMLP(nn.Module):
                 freeze_base=self.freeze_base, dtype=self.dtype, name=name,
             )
 
-        gate = proj("gate_proj", cfg.intermediate_size)(x, training)
-        up = proj("up_proj", cfg.intermediate_size)(x, training)
+        gd = proj("gate_proj", cfg.intermediate_size)(x, training, defer_lora=True)
+        ud = proj("up_proj", cfg.intermediate_size)(x, training, defer_lora=True)
+        drop = nn.Dropout(self.lora_dropout)
+        gate, up = apply_lora_group(
+            x, (gd, ud),
+            alpha=self.lora_alpha, r=max(self.lora_r, 1),
+            dropout_fn=lambda v: drop(v, deterministic=not training),
+        )
         return proj("down_proj", cfg.hidden_size)(nn.silu(gate) * up, training)
 
 

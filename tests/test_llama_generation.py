@@ -177,3 +177,63 @@ def test_lora_mask():
     flat = dict(jax.tree_util.tree_flatten_with_path(mask)[0])
     trainables = ["/".join(str(p.key) for p in k) for k, v in flat.items() if v]
     assert trainables and all("lora_" in t for t in trainables)
+
+def test_fused_lora_group_matches_per_adapter():
+    """apply_lora_group (one concat-A matmul + block-diag-B matmul) must
+    equal per-adapter ``y + (α/r)·(x@A)@B`` exactly at dropout=0 — incl.
+    mixed groups where only some projections carry adapters."""
+    from llm_bci_tpu.models.llama import apply_lora_group
+
+    rng = np.random.default_rng(3)
+    B, T, H, r = 2, 5, 16, 4
+    alpha = 32.0
+    x = jnp.asarray(rng.normal(size=(B, T, H)), jnp.float32)
+    feats = [24, 8, 8]
+    deferred, expected = [], []
+    for i, f in enumerate(feats):
+        y = jnp.asarray(rng.normal(size=(B, T, f)), jnp.float32)
+        if i == 1:  # untargeted projection: no adapter
+            deferred.append((y, None, None))
+            expected.append(y)
+            continue
+        a = jnp.asarray(rng.normal(size=(H, r)), jnp.float32)
+        b = jnp.asarray(rng.normal(size=(r, f)), jnp.float32)
+        deferred.append((y, a, b))
+        expected.append(y + (alpha / r) * ((x @ a) @ b))
+    outs = apply_lora_group(x, deferred, alpha=alpha, r=r)
+    for o, e in zip(outs, expected):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(e), rtol=1e-5, atol=1e-5)
+
+
+def test_lora_forward_changes_with_nonzero_B():
+    """End-to-end: perturbing lora_B must move the logits through the fused
+    group path (guards against a fusion that silently drops deltas), and
+    zero-init lora_B must leave logits at the base value."""
+    cfg = LlamaConfig.debug()
+    targets = ("q_proj", "v_proj", "k_proj", "o_proj",
+               "gate_proj", "up_proj", "down_proj")
+    model = LlamaForCausalLM(cfg, lora_r=4, lora_targets=targets, dtype=jnp.float32)
+    base = LlamaForCausalLM(cfg, lora_r=0, dtype=jnp.float32)
+    ids = jnp.asarray(np.random.default_rng(1).integers(3, 97, size=(2, 6)))
+    params = model.init(jax.random.PRNGKey(0), input_ids=ids)["params"]
+
+    def strip_lora(p):
+        if isinstance(p, dict):
+            return {k: strip_lora(v) for k, v in p.items()
+                    if k not in ("lora_A", "lora_B")}
+        return p
+
+    logits0, _ = model.apply({"params": params}, input_ids=ids)
+    logits_base, _ = base.apply({"params": strip_lora(params)}, input_ids=ids)
+    np.testing.assert_allclose(
+        np.asarray(logits0), np.asarray(logits_base), rtol=1e-5, atol=1e-5
+    )
+
+    bumped = jax.tree_util.tree_map_with_path(
+        lambda path, v: v + 0.05
+        if any(str(getattr(p, "key", "")) == "lora_B" for p in path)
+        else v,
+        params,
+    )
+    logits1, _ = model.apply({"params": bumped}, input_ids=ids)
+    assert float(jnp.max(jnp.abs(logits1 - logits0))) > 1e-3
