@@ -25,21 +25,61 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(
     data: int = -1,
     fsdp: int = 1,
+    tp: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
-    """Build a 2D (data, fsdp) mesh. ``-1`` takes all remaining devices."""
+    """Build a (data, fsdp, tp) mesh. ``-1`` takes all remaining devices.
+
+    ``tp`` is the tensor-parallel axis (Megatron-style sharding of the BCI
+    LLM's projection matrices — see :func:`tp_llama_rules`); it is the
+    innermost axis so TP collectives ride the fastest ICI links. With
+    ``tp=1`` the mesh behaves exactly like the historical 2D (data, fsdp)
+    mesh: PartitionSpecs never name the trivial axis.
+    """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
-    if data == -1 and fsdp == -1:
+    sizes = {"data": data, "fsdp": fsdp, "tp": tp}
+    free = [k for k, v in sizes.items() if v == -1]
+    if len(free) > 1:
         raise ValueError("Only one mesh axis may be -1")
-    if data == -1:
-        data = n // fsdp
-    if fsdp == -1:
-        fsdp = n // data
-    if data * fsdp != n:
-        raise ValueError(f"mesh {data}x{fsdp} != {n} devices")
-    arr = np.asarray(devices).reshape(data, fsdp)
-    return Mesh(arr, ("data", "fsdp"))
+    if free:
+        fixed = 1
+        for k, v in sizes.items():
+            if v != -1:
+                fixed *= v
+        sizes[free[0]] = n // fixed
+    if sizes["data"] * sizes["fsdp"] * sizes["tp"] != n:
+        raise ValueError(
+            f"mesh {sizes['data']}x{sizes['fsdp']}x{sizes['tp']} != {n} devices"
+        )
+    arr = np.asarray(devices).reshape(sizes["data"], sizes["fsdp"], sizes["tp"])
+    return Mesh(arr, ("data", "fsdp", "tp"))
+
+
+def tp_llama_rules(mesh: Mesh) -> Dict[str, P]:
+    """Megatron-style tensor-parallel rules for the Llama decoder stack
+    (reference scale: ``deepspeed/kai.yaml`` shards only optimizer state;
+    TP is a beyond-reference axis for serving/fine-tuning models whose
+    *activations* or per-layer weights outgrow one chip).
+
+    Column-parallel: q/k/v and gate/up kernels shard their OUTPUT dim over
+    ``tp`` (heads/intermediate split — requires ``num_key_value_heads %
+    tp == 0``). Row-parallel: o_proj and down_proj shard their INPUT dim;
+    GSPMD inserts the per-layer psum/reduce-scatter that completes the
+    partial sums. LoRA adapters, norms, embeddings and the lm_head stay
+    replicated (rank-8 factors and norm vectors are tiny; the vocab matmul
+    at B·T of the fine-tune recipe is cheaper replicated than the logits
+    all-gather a sharded lm_head implies). When ``fsdp > 1`` the matched
+    kernels shard their other dim over ``fsdp`` as well.
+    """
+    f = "fsdp" if mesh.shape["fsdp"] > 1 else None
+    return {
+        r"self_attn/(q_proj|k_proj|v_proj)/kernel$": P(f, "tp"),
+        r"self_attn/o_proj/kernel$": P("tp", f),
+        r"mlp/(gate_proj|up_proj)/kernel$": P(f, "tp"),
+        r"mlp/down_proj/kernel$": P("tp", f),
+        r"(lora_A|lora_B)$": P(),
+    }
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -150,7 +150,11 @@ class Trainer:
         # equivalent is `accelerate launch` + torch.distributed rendezvous.
         if par.get("multihost") and not _distributed_initialized():
             jax.distributed.initialize()
-        self.mesh = make_mesh(int(par.get("data", -1)), int(par.get("fsdp", 1)))
+        self.mesh = make_mesh(
+            int(par.get("data", -1)),
+            int(par.get("fsdp", 1)),
+            int(par.get("tp", 1)),
+        )
         self.is_main_process = jax.process_index() == 0
 
         self.print_v(
@@ -332,7 +336,20 @@ class Trainer:
 
         params_shape, extra_shape = jax.eval_shape(init_fn, init_rng)
         min_size = int(self.config.parallelism.get("fsdp_min_size", 1 << 20))
-        self.param_shardings = shard_pytree(params_shape, self.mesh, min_size=min_size)
+        # parallelism.tp > 1: Megatron-style rules shard the LLM projection
+        # kernels over the tp axis (tp_llama_rules); everything else keeps
+        # the size-gated FSDP default. Opt-state shardings below stay on the
+        # shape-based fsdp rule — exact for the LoRA/freeze workloads (tp
+        # only touches frozen kernels, which carry no Adam state); a full
+        # fine-tune under tp re-places mu/nu once per step via GSPMD.
+        rules = None
+        if self.mesh.shape["tp"] > 1:
+            from llm_bci_tpu.parallel.mesh import tp_llama_rules
+
+            rules = tp_llama_rules(self.mesh)
+        self.param_shardings = shard_pytree(
+            params_shape, self.mesh, rules=rules, min_size=min_size
+        )
 
         # Frozen-param support (LoRA / freeze_llm, the peft requires_grad
         # analog): models expose a bool pytree; frozen leaves get no
