@@ -111,10 +111,13 @@ def update_config(default_config: ConfigLike, config: ConfigLike = None) -> Dict
 
 class ParseKwargs(argparse.Action):
     """argparse action collecting ``key=value`` pairs into a dict
-    (reference ``utils/config_utils.py:84-89``)."""
+    (reference ``utils/config_utils.py:84-89``). Unlike the reference,
+    repeated ``-k`` flags ACCUMULATE instead of silently replacing the
+    earlier dict (``-k a=1 -k b=2`` == ``-k a=1 b=2``); later pairs win
+    on key collision."""
 
     def __call__(self, parser, namespace, values, option_string=None):
-        kwargs: Dict[str, str] = {}
+        kwargs: Dict[str, str] = dict(getattr(namespace, self.dest, None) or {})
         for item in values:
             key, _, value = item.partition("=")
             kwargs[key] = value
