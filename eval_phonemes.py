@@ -204,16 +204,22 @@ def _grouped_bar_figure(stats, boot_key, ylabel, xlabel, out_path):
     width = 0.8 / max(len(labels), 1)
     fig, ax = plt.subplots(figsize=(10, 6))
     for j, lab in enumerate(labels):
-        means, lo, hi = [], [], []
-        for b in beams_axis:
+        pos, means, lo, hi = [], [], [], []
+        # Labels may cover different beam-size sets (e.g. a greedy-only
+        # baseline next to beam sweeps): plot each label only at the beam
+        # sizes it actually has.
+        for xi, b in zip(x, beams_axis):
+            if b not in stats[lab]:
+                continue
             boots = stats[lab][b][boot_key] * 100.0
             m = boots.mean()
             p_lo, p_hi = np.percentile(boots, [2.5, 97.5])
+            pos.append(xi)
             means.append(m)
             lo.append(m - p_lo)
             hi.append(p_hi - m)
         ax.bar(
-            x + (j - (len(labels) - 1) / 2) * width,
+            np.asarray(pos) + (j - (len(labels) - 1) / 2) * width,
             means,
             yerr=[lo, hi],
             width=width,

@@ -328,8 +328,14 @@ def create_llm_labels(
     # default-configured tokenizer (add_bos_token=True) would otherwise
     # scatter BOS tokens mid-sequence — and into the loss-bearing labels.
     # The appended eos STRING still maps to the eos id (AddedToken match).
-    # The sequence-INITIAL BOS the base model was pretrained to expect is
-    # restored explicitly below (it lands in part_a, loss-masked to −100).
+    # When the caller's tokenizer is configured with add_bos_token, the
+    # sequence-INITIAL BOS is re-prepended below (landing in part_a,
+    # loss-masked to −100). NOTE the shipped pipeline never takes this
+    # branch: main.py and eval_phonemes.py both build the tokenizer with
+    # add_bos_token=False, exactly like the reference (`main.py:35`,
+    # `eval_phonemes.py:109`) — no BOS anywhere is reference parity. A
+    # caller who opts into BOS here must serve with a BOS-initial prompt
+    # too, or training and decoding see different prompt prefixes.
     prompt_tokens_a = tokenizer(
         part_a, return_tensors="np", add_special_tokens=False
     )["input_ids"][0]

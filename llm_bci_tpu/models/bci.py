@@ -141,15 +141,10 @@ class BCI(nn.Module):
     def setup(self):
         cfg = self.config
         # The trunk keeps the exact reference splice semantics: tile-pad
-        # frames (stack.pad_to_multiple) would occupy prompt positions and
-        # shift every later token's position in the LLM. The trunk is a
-        # small fraction of the BCI step's FLOPs, so default alignment OFF
-        # here (standalone NDT1 defaults to 8); users can still opt in.
+        # frames (stack.pad_to_multiple, NeuralEncoder's default is already
+        # 1 = off) would occupy prompt positions and shift every later
+        # token's position in the LLM — leave it off for BCI.
         enc_cfg = dict(cfg["ndt1"]["encoder"])
-        if "pad_to_multiple" not in enc_cfg["embedder"].get("stack", {}):
-            emb = dict(enc_cfg["embedder"])
-            emb["stack"] = {**dict(emb.get("stack", {})), "pad_to_multiple": 1}
-            enc_cfg["embedder"] = emb
         self.encoder = NeuralEncoder(config=enc_cfg, name="ndt1_encoder")
         self.llm = LlamaForCausalLM(
             self.llama_config,

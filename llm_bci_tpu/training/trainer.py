@@ -384,12 +384,22 @@ class Trainer:
         # Loaded blobs (e.g. f32 HF checkpoints) are cast to the init param
         # dtypes — frozen LLM leaves are stored in compute dtype, and a
         # silent f32 leaf would both recompile the step and lose that.
+        # Multi-process: FSDP-sharded params span non-addressable devices, so
+        # a plain device_get/device_put raises — all-gather to a replicated
+        # layout first, and re-place shards via make_array_from_callback.
         if hasattr(self.model, "warm_start_params"):
-            warm = self.model.warm_start_params(jax.device_get(params))
-            warm = jax.tree_util.tree_map(
-                lambda w, p: jnp.asarray(w, dtype=p.dtype), warm, params
-            )
-            params = jax.device_put(warm, self.param_shardings)
+            gathered = params
+            if jax.process_count() > 1:
+                gathered = jax.jit(
+                    lambda p: p, out_shardings=replicated(self.mesh)
+                )(params)
+            host = jax.device_get(gathered)
+            warm = self.model.warm_start_params(host)
+            if warm is not host:  # identity return == nothing to load
+                warm = jax.tree_util.tree_map(
+                    lambda w, p: np.asarray(w).astype(p.dtype), warm, params
+                )
+                params = self._put_host_tree(warm, self.param_shardings)
 
         # Optimizer-state shardings must be explicit: with out_shardings=None
         # GSPMD replicates tx.init outputs, silently dropping the ZeRO-1/2
@@ -517,9 +527,19 @@ class Trainer:
         device-side gather over a fresh permutation — example COMPOSITION
         reshuffles every epoch exactly like the streaming path (the round-2
         version froze composition after epoch 1, a training-semantics
-        deviation), still with zero host→device traffic. Otherwise batches
+        deviation), still with zero host→device traffic. Non-shuffled
+        (eval) dataloaders replay the cached batches directly — no gather.
+        Single-process only (the replay gather/permutation paths assume
+        fully-addressable arrays); engages only when the cached pool covers
+        the whole dataset (``drop_last`` with a ragged tail would freeze the
+        dropped examples out of every later epoch). Otherwise batches
         stream through :meth:`_prefetch_stream` each epoch."""
         if bool(self.config.training.get("cache_device_batches", False)):
+            if jax.process_count() > 1:
+                raise ValueError(
+                    "training.cache_device_batches is single-process only; "
+                    "disable it for parallelism.multihost runs"
+                )
             if not hasattr(self, "_device_batch_cache"):
                 self._device_batch_cache = {}
                 self._cache_order_rng = np.random.default_rng(
@@ -546,19 +566,45 @@ class Trainer:
                 for item in self._prefetch_stream(dataloader, depth):
                     items.append(item)
                     yield item
+                entry["n_cached"] = sum(
+                    next(iter(it[0].values())).shape[0] for it in items
+                )
                 entry["complete"] = True
+                return
+
+            if not getattr(dataloader, "shuffle", False):
+                # Eval/test loaders iterate a fixed order: replay the cached
+                # batches as-is instead of re-gathering an identity
+                # permutation through jnp.take every pass.
+                yield from entry["items"]
+                return
+
+            n_cached = entry["n_cached"]
+            n_dataset = len(getattr(dataloader, "dataset", ()))
+            if n_dataset and n_cached != n_dataset:
+                # drop_last with a ragged tail: epoch 1's shuffle decided
+                # which examples got dropped; replaying that pool would
+                # freeze the SAME examples out of every later epoch (the
+                # streaming path drops a fresh random tail each time).
+                self.print_v(
+                    "cache_device_batches: cached pool covers "
+                    f"{n_cached}/{n_dataset} examples (drop_last tail) — "
+                    "streaming instead so epoch composition stays unbiased.",
+                    verbosity=1,
+                )
+                yield from self._prefetch_stream(dataloader, depth)
                 return
 
             if "columns" not in entry:
                 self._build_cache_columns(entry)
-            cols, host_cols, unused_cols, sizes = (
+            cols, host_cols, host_list_cols, unused_cols, sizes = (
                 entry["columns"], entry["host_columns"],
-                entry["unused_columns"], entry["batch_sizes"],
+                entry["host_list_columns"], entry["unused_columns"],
+                entry["batch_sizes"],
             )
             n = int(sizes.sum())
             order = np.arange(n)
-            if getattr(dataloader, "shuffle", False):
-                self._cache_order_rng.shuffle(order)
+            self._cache_order_rng.shuffle(order)
             start = 0
             for bs in sizes:
                 idx = order[start : start + bs]
@@ -566,6 +612,9 @@ class Trainer:
                 dev_idx = jax.device_put(idx, replicated(self.mesh))
                 dev_batch = self._cache_gather(cols, dev_idx)
                 model_inputs = {k: v[idx] for k, v in host_cols.items()}
+                model_inputs.update(
+                    {k: [v[i] for i in idx] for k, v in host_list_cols.items()}
+                )
                 unused = {k: [v[i] for i in idx] for k, v in unused_cols.items()}
                 yield dev_batch, model_inputs, unused
             return
@@ -583,6 +632,14 @@ class Trainer:
             k: np.concatenate([np.asarray(it[1][k]) for it in items], axis=0)
             for k in items[0][1]
             if isinstance(items[0][1][k], np.ndarray)
+        }
+        # Columns that collate to python lists (ragged / non-array values)
+        # replay as per-example lists — dropping them would hand metric fns
+        # a model_inputs dict missing keys that epoch 1 had.
+        entry["host_list_columns"] = {
+            k: [row for it in items for row in it[1][k]]
+            for k in items[0][1]
+            if not isinstance(items[0][1][k], np.ndarray)
         }
         entry["unused_columns"] = {
             k: [row for it in items for row in it[2][k]] for k in items[0][2]
@@ -628,6 +685,20 @@ class Trainer:
                     raise error[0]
                 break
             yield item
+
+    def _put_host_tree(self, tree, shardings):
+        """Place a host pytree with the given shardings; multi-process safe
+        (``device_put`` of a full host array raises on non-addressable
+        shardings — each host materializes only its local shards)."""
+        if jax.process_count() > 1:
+            return jax.tree_util.tree_map(
+                lambda v, sh: jax.make_array_from_callback(
+                    np.shape(v), sh, lambda idx, v=v: np.asarray(v)[idx]
+                ),
+                tree,
+                shardings,
+            )
+        return jax.device_put(tree, shardings)
 
     def _put_batch(self, batch: Dict[str, Any]) -> Dict[str, Any]:
         """Transfer numpy arrays to device; batch-shard when divisible by the

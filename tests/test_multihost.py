@@ -4,8 +4,9 @@ The round-2 verdict's missing piece: ``_put_batch`` and checkpointing were
 single-controller patterns that raise the moment the mesh spans
 non-addressable devices. This test runs REAL ``jax.distributed`` with two
 OS processes (2 CPU devices each → a 4-device global data mesh), trains a
-tiny NDT1, writes a distributed Orbax checkpoint, and resumes from it in a
-fresh 2-process cluster.
+tiny NDT1 with params FSDP-sharded ACROSS the two processes, writes a
+distributed Orbax checkpoint, and resumes from it in a fresh 2-process
+cluster.
 """
 import os
 import pickle
@@ -70,7 +71,11 @@ cfg = DictConfig(
             }},
         },
         "optimizer": {"lr": 1e-3, "scheduler": "cosine", "warmup_pct": 0.1},
-        "parallelism": {"data": -1, "fsdp": 1},
+        # fsdp 2 on the (2,2) mesh: every param's fsdp shards live on BOTH
+        # processes, so init/warm-start/checkpoint paths that device_get or
+        # device_put a full array would raise — the round-3 warm-start fix
+        # (all-gather before host access) is exercised here.
+        "parallelism": {"data": -1, "fsdp": 2, "fsdp_min_size": 64},
     }
 )
 
