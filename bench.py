@@ -405,6 +405,26 @@ def kernel_selftest() -> str:
             np.asarray(jax.device_get(a)), np.asarray(jax.device_get(b)),
             rtol=2e-2, atol=2e-3,
         )
+
+    # --- Int8 weight-only matmul: compiled Pallas dequant kernel vs the
+    # XLA convert+dot path (same math, different HBM layout).
+    from llm_bci_tpu.ops import quant
+
+    Kq, Nq, Mq = 512, 512, 64
+    wq = rng.normal(0, 0.05, size=(Kq, Nq)).astype(np.float32)
+    xq = jnp.asarray(rng.normal(size=(Mq, Kq)).astype(np.float32))
+    qm, sc = quant.quantize_int8(wq)
+    qm, sc = jnp.asarray(qm), jnp.asarray(sc)
+    # tile-aligned shapes take the Pallas kernel on TPU …
+    y_pl = jax.jit(
+        lambda x: quant.int8_matmul(x, qm, sc, block_n=256, block_k=256)
+    )(xq)
+    # … while an unaligned K forces the XLA fallback of the same op.
+    y_xla = jax.jit(lambda x: quant._int8_matmul_xla(x, qm, sc, "float32"))(xq)
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(y_pl)), np.asarray(jax.device_get(y_xla)),
+        rtol=2e-5, atol=2e-5,
+    )
     return "ok"
 
 
@@ -505,9 +525,10 @@ def main():
     )
 
 
-def _bci_model_and_batch():
+def _bci_model_and_batch(quant=None):
     """Shared BCI fixture: NDT1 trunk + projector + LoRA Llama decoder at a
-    single-chip-feasible LLM size (12L/1024h ~ 200M, GQA 4 kv heads)."""
+    single-chip-feasible LLM size (12L/1024h ~ 200M, GQA 4 kv heads).
+    ``quant="int8"`` stores the frozen Llama base int8 (weight-only)."""
     from llm_bci_tpu.config import DictConfig
     from llm_bci_tpu.models.bci import BCI
     from llm_bci_tpu.models.llama import LlamaConfig
@@ -544,6 +565,7 @@ def _bci_model_and_batch():
         lora_r=8, lora_alpha=32.0, lora_dropout=0.0,
         lora_targets=("q_proj", "v_proj", "k_proj", "o_proj",
                       "gate_proj", "up_proj", "down_proj"),
+        quant=quant,
     )
     rng = np.random.default_rng(0)
     batch = {
@@ -696,15 +718,18 @@ def main_bci():
     )
 
 
-def bench_generate(greedy_only: bool = False) -> dict:
+def bench_generate(greedy_only: bool = False, quant=None) -> dict:
     """Serving path: jitted KV-cache decode from the spliced neural prompt
     (the eval_phonemes WER surface, reference models/bci.py:224-246).
     Reports greedy new-tokens/s and diverse-beam(5) sequences/s
-    (``greedy_only`` skips the beam compile — used by the default run)."""
+    (``greedy_only`` skips the beam compile — used by the default run).
+    ``quant="int8"`` serves the frozen Llama base from int8 weights —
+    the decode matmuls are HBM-bound, so halving weight bytes is the
+    headline serving lever."""
     import jax
 
     _set_rng_impl()
-    model, batch, Bb = _bci_model_and_batch()
+    model, batch, Bb = _bci_model_and_batch(quant=quant)
     gen_keys = (
         "input_ids", "attention_mask", "input_split", "spikes",
         "spikes_mask", "spikes_timestamp", "spikes_lengths",
@@ -751,6 +776,7 @@ def bench_generate(greedy_only: bool = False) -> dict:
 
 def main_generate():
     out = bench_generate()
+    int8 = bench_generate(greedy_only=True, quant="int8")
     print(
         json.dumps(
             {
@@ -759,6 +785,11 @@ def main_generate():
                 "unit": "new tokens/s/chip",
                 "vs_baseline": 1.0,
                 "beam5_sequences_per_sec": out["beam5_sequences_per_sec"],
+                # int8 weight-only serving: same decode, frozen base int8
+                "int8_greedy_tokens_per_sec": int8["greedy_tokens_per_sec"],
+                "int8_vs_bf16": round(
+                    int8["greedy_tokens_per_sec"] / out["greedy_tokens_per_sec"], 3
+                ),
             }
         )
     )

@@ -38,6 +38,7 @@ from llm_bci_tpu.models.llama import (
     LlamaForCausalLM,
     load_hf_llama_params,
     lora_trainable_mask,
+    quantize_llama_params,
 )
 from llm_bci_tpu.models.ndt1 import ACT2FN, NDT1, NeuralEncoder
 from llm_bci_tpu.ops.losses import cross_entropy_loss
@@ -91,6 +92,10 @@ class BCI(nn.Module):
     lora_targets: Tuple[str, ...] = ()
     freeze_llm: bool = False
     dtype: Any = jnp.bfloat16
+    # "int8" stores the frozen LLM base as int8 + per-channel scales
+    # (weight-only; LoRA/norms/embeddings stay bf16) — ~half the HBM bytes
+    # of the bf16 base, ~quarter of the reference's fp16 layout.
+    quant: Any = None
 
     @classmethod
     def from_config(cls, model_config, **method_kwargs) -> "BCI":
@@ -135,6 +140,7 @@ class BCI(nn.Module):
             llama_config=llama_config,
             method_name=method_kwargs.get("method_name", "endtoend"),
             freeze_llm=bool(method_kwargs.get("freeze_llm", False)),
+            quant=method_kwargs.get("quantize"),
             **lora_kwargs,
         )
 
@@ -155,6 +161,7 @@ class BCI(nn.Module):
             freeze_base=self.freeze_llm or self.lora_r > 0,
             dtype=self.dtype,
             remat=bool(cfg.get("llm_remat", False)),
+            quant=self.quant,
             name="llm",
         )
         proj = cfg["projector"]
@@ -419,6 +426,8 @@ class BCI(nn.Module):
         llm_path = self.config.get("llm_path")
         if llm_path and os.path.exists(os.path.join(llm_path, "config.json")):
             hf_params = load_hf_llama_params(llm_path, self.llama_config)
+            if self.quant:
+                hf_params = quantize_llama_params(hf_params, self.quant)
             params["llm"] = _merge_params(params["llm"], hf_params)
         return params
 

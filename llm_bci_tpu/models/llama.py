@@ -27,6 +27,7 @@ import numpy as np
 from flax import linen as nn
 
 from llm_bci_tpu.ops.attention import dot_product_attention
+from llm_bci_tpu.ops.quant import int8_matmul, quantize_int8
 from llm_bci_tpu.ops.rotary import apply_rotary_pos_emb, rope_cos_sin
 
 
@@ -82,9 +83,26 @@ class RMSNorm(nn.Module):
         return (w * x).astype(dtype)
 
 
+# Scale used when an int8-quantized layer is initialized from scratch
+# (tests / debug models; real runs quantize loaded HF weights instead):
+# ±4σ of the normal(0.02) init maps onto the int8 range.
+_INT8_INIT_SCALE = 0.02 * 4.0 / 127.0
+
+
+def _int8_kernel_init(key, shape, dtype):
+    w = jax.random.normal(key, shape, jnp.float32) * 0.02
+    return jnp.clip(jnp.round(w / _INT8_INIT_SCALE), -127, 127).astype(dtype)
+
+
 class LoRADense(nn.Module):
     """Dense with optional LoRA adapter: ``y = xW + (alpha/r) * drop(x)AB``.
-    The base ``kernel`` is frozen via the optimizer mask; A/B train."""
+    The base ``kernel`` is frozen via the optimizer mask; A/B train.
+
+    ``quant="int8"`` stores the frozen base kernel as int8 with one f32
+    scale per output channel (``kernel_scale``); the matmul dequantizes
+    on the fly via :func:`llm_bci_tpu.ops.quant.int8_matmul`, halving the
+    kernel's HBM traffic vs bf16. Requires a frozen base (the int8 leaf
+    can't take optimizer updates)."""
 
     features: int
     use_bias: bool = False
@@ -93,6 +111,7 @@ class LoRADense(nn.Module):
     lora_dropout: float = 0.0
     freeze_base: bool = False
     dtype: Any = jnp.bfloat16
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -100,21 +119,45 @@ class LoRADense(nn.Module):
     ):
         in_features = x.shape[-1]
         frozen = self.r > 0 or self.freeze_base
-        # Frozen base params are STORED in compute dtype (the reference casts
-        # its whole LLM to fp16, models/bci.py:71): they never receive
-        # optimizer updates, so no fp32 master copy is needed — and keeping
-        # them f32 would re-convert ~2x the bytes from HBM every step.
-        kernel = self.param(
-            "kernel",
-            nn.initializers.normal(0.02),
-            (in_features, self.features),
-            self.dtype if frozen else jnp.float32,
-        ).astype(self.dtype)
-        if frozen:
-            # stop_gradient lets XLA prune the dW matmul in backward — the
-            # optimizer mask alone would still pay for it.
-            kernel = jax.lax.stop_gradient(kernel)
-        y = x @ kernel
+        if self.quant == "int8":
+            if not frozen:
+                raise ValueError(
+                    "quant='int8' requires a frozen base (LoRA or freeze)"
+                )
+            kernel_q = self.param(
+                "kernel", _int8_kernel_init, (in_features, self.features), jnp.int8
+            )
+            kernel_scale = self.param(
+                "kernel_scale",
+                nn.initializers.constant(_INT8_INIT_SCALE),
+                (self.features,),
+                jnp.float32,
+            )
+            y = int8_matmul(
+                x,
+                kernel_q,
+                jax.lax.stop_gradient(kernel_scale),
+                out_dtype=self.dtype,
+            )
+        elif self.quant is not None:
+            raise ValueError(f"unknown quant mode {self.quant!r}")
+        else:
+            # Frozen base params are STORED in compute dtype (the reference
+            # casts its whole LLM to fp16, models/bci.py:71): they never
+            # receive optimizer updates, so no fp32 master copy is needed —
+            # and keeping them f32 would re-convert ~2x the bytes from HBM
+            # every step.
+            kernel = self.param(
+                "kernel",
+                nn.initializers.normal(0.02),
+                (in_features, self.features),
+                self.dtype if frozen else jnp.float32,
+            ).astype(self.dtype)
+            if frozen:
+                # stop_gradient lets XLA prune the dW matmul in backward —
+                # the optimizer mask alone would still pay for it.
+                kernel = jax.lax.stop_gradient(kernel)
+            y = x @ kernel
         if self.use_bias:
             bias = self.param(
                 "bias",
@@ -226,6 +269,7 @@ class LlamaAttention(nn.Module):
     lora_targets: Tuple[str, ...] = ()
     freeze_base: bool = False
     dtype: Any = jnp.bfloat16
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -245,7 +289,8 @@ class LlamaAttention(nn.Module):
             r = self.lora_r if name in self.lora_targets else 0
             return LoRADense(
                 out, r=r, alpha=self.lora_alpha, lora_dropout=self.lora_dropout,
-                freeze_base=self.freeze_base, dtype=self.dtype, name=name,
+                freeze_base=self.freeze_base, dtype=self.dtype,
+                quant=self.quant, name=name,
             )
 
         # q/k/v share input x: their LoRA deltas fuse into one grouped
@@ -295,6 +340,7 @@ class LlamaMLP(nn.Module):
     lora_targets: Tuple[str, ...] = ()
     freeze_base: bool = False
     dtype: Any = jnp.bfloat16
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
@@ -304,7 +350,8 @@ class LlamaMLP(nn.Module):
             r = self.lora_r if name in self.lora_targets else 0
             return LoRADense(
                 out, r=r, alpha=self.lora_alpha, lora_dropout=self.lora_dropout,
-                freeze_base=self.freeze_base, dtype=self.dtype, name=name,
+                freeze_base=self.freeze_base, dtype=self.dtype,
+                quant=self.quant, name=name,
             )
 
         gd = proj("gate_proj", cfg.intermediate_size)(x, training, defer_lora=True)
@@ -326,12 +373,14 @@ class LlamaDecoderLayer(nn.Module):
     lora_targets: Tuple[str, ...] = ()
     freeze_base: bool = False
     dtype: Any = jnp.bfloat16
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, mask, positions, cache=None, cache_index=None, training=False):
         h, new_cache = LlamaAttention(
             self.config, self.lora_r, self.lora_alpha, self.lora_dropout,
-            self.lora_targets, self.freeze_base, self.dtype, name="self_attn",
+            self.lora_targets, self.freeze_base, self.dtype,
+            quant=self.quant, name="self_attn",
         )(
             RMSNorm(self.config.rms_norm_eps, name="input_layernorm")(x),
             mask, positions, cache, cache_index, training,
@@ -339,7 +388,8 @@ class LlamaDecoderLayer(nn.Module):
         x = x + h
         h = LlamaMLP(
             self.config, self.lora_r, self.lora_alpha, self.lora_dropout,
-            self.lora_targets, self.freeze_base, self.dtype, name="mlp",
+            self.lora_targets, self.freeze_base, self.dtype,
+            quant=self.quant, name="mlp",
         )(RMSNorm(self.config.rms_norm_eps, name="post_attention_layernorm")(x), training)
         return x + h, new_cache
 
@@ -356,6 +406,7 @@ class LlamaForCausalLM(nn.Module):
     freeze_base: bool = False
     dtype: Any = jnp.bfloat16
     remat: bool = False
+    quant: Optional[str] = None
 
     def setup(self):
         cfg = self.config
@@ -379,7 +430,8 @@ class LlamaForCausalLM(nn.Module):
         self.layers = [
             layer_cls(
                 cfg, self.lora_r, self.lora_alpha, self.lora_dropout,
-                self.lora_targets, self.freeze_base, self.dtype, name=f"layers_{i}",
+                self.lora_targets, self.freeze_base, self.dtype,
+                quant=self.quant, name=f"layers_{i}",
             )
             for i in range(cfg.num_hidden_layers)
         ]
@@ -390,7 +442,8 @@ class LlamaForCausalLM(nn.Module):
             # flagship step — and the param is stored in compute dtype).
             self.lm_head = LoRADense(
                 cfg.vocab_size, use_bias=False, r=0,
-                freeze_base=self.freeze_base, dtype=self.dtype, name="lm_head",
+                freeze_base=self.freeze_base, dtype=self.dtype,
+                quant=self.quant if self.freeze_base else None, name="lm_head",
             )
 
     def embed(self, input_ids: jax.Array) -> jax.Array:
@@ -490,3 +543,36 @@ def load_hf_llama_params(model_dir: str, config: LlamaConfig) -> Dict:
             },
         }
     return params
+
+
+_QUANT_PROJ_NAMES = (
+    "q_proj", "k_proj", "v_proj", "o_proj",
+    "gate_proj", "up_proj", "down_proj", "lm_head",
+)
+
+
+def quantize_llama_params(
+    params: Dict, mode: str = "int8", quant_lm_head: bool = True
+) -> Dict:
+    """Quantize the frozen-base projection kernels (and lm_head) of a loaded
+    Llama param pytree to int8 + per-output-channel scales — the layout
+    ``LoRADense(quant="int8")`` expects. Norms, embeddings, biases and LoRA
+    factors pass through untouched. Host-side (numpy); used at HF-import /
+    warm-start time."""
+    if mode != "int8":
+        raise ValueError(f"unknown quant mode {mode!r}")
+
+    def walk(node: Dict, name: str) -> Dict:
+        if name == "lm_head" and not quant_lm_head:
+            return node
+        if name in _QUANT_PROJ_NAMES and "kernel" in node:
+            q, scale = quantize_int8(np.asarray(node["kernel"]), axis=0)
+            out = {k: v for k, v in node.items() if k != "kernel"}
+            out["kernel"] = q
+            out["kernel_scale"] = scale
+            return out
+        return {
+            k: walk(v, k) if isinstance(v, dict) else v for k, v in node.items()
+        }
+
+    return walk(dict(params), "")

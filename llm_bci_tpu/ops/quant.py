@@ -1,0 +1,208 @@
+"""Int8 weight-only quantization for the frozen LLM base.
+
+Serving/fine-tune memory lever beyond the reference (whose LLM runs fp16,
+``/root/reference/models/bci.py:71``): the frozen Llama projection kernels
+and lm_head are stored as **int8 + one f32 scale per output channel**
+(symmetric, absmax). Matmuls dequantize on the fly:
+
+    y = (x @ q.astype(compute)) * scale        # q int8, exact in bf16
+
+int8 magnitudes (<= 127) are exactly representable in bf16, so the only
+error is the weight rounding itself (<= scale/2 per element). The win is
+HBM bytes — the usual bound for both the B<=8 KV-cache decode (weights
+stream every token) and the frozen-base fine-tune step: int8 halves
+weight traffic vs bf16 and quarters it vs the reference's fp16-master
+layout, and a 7B base drops to ~6.8 GB of HBM.
+
+Two matmul paths:
+
+* XLA (`_int8_matmul_xla`): convert + dot; on TPU the convert may
+  materialize a bf16 copy of the weight block in HBM, which forfeits the
+  bandwidth win — kept as the reference/CPU/grad path.
+* Pallas (`_int8_matmul_pallas`): tiles of the int8 kernel are DMA'd to
+  VMEM, converted in-register, fed to the MXU, and scaled into the f32
+  accumulator — weights cross HBM exactly once, as int8. Forward only
+  (the frozen base never takes weight grads; x-grads flow through the
+  XLA path of the custom VJP).
+
+`int8_matmul` dispatches: Pallas on TPU for tile-aligned shapes, XLA
+otherwise. Backward is always XLA: dL/dx = (g * scale) @ q^T.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INTERPRET = False
+
+
+def set_interpret_mode(value: bool) -> None:
+    global _INTERPRET
+    _INTERPRET = value
+
+
+# ---------------------------------------------------------------------------
+# Quantization
+# ---------------------------------------------------------------------------
+
+
+def quantize_int8(w, axis: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """Symmetric absmax int8 quantization, one scale per output channel.
+
+    ``w`` is an (in, out)-style kernel; ``axis`` is the reduction (input)
+    axis. Host-side numpy — used at HF-import/warm-start time. Returns
+    ``(q int8, scale f32)`` with ``q * scale ~= w`` and scale shaped like
+    ``w`` with ``axis`` removed.
+    """
+    w = np.asarray(w, dtype=np.float32)
+    absmax = np.max(np.abs(w), axis=axis, keepdims=True)
+    scale = np.maximum(absmax, 1e-12) / 127.0
+    q = np.clip(np.rint(w / scale), -127, 127).astype(np.int8)
+    return q, np.squeeze(scale, axis=axis).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel: out[m, n] = sum_k x[m, k] * q[k, n] * scale[n]
+# ---------------------------------------------------------------------------
+
+
+def _int8_matmul_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, nk: int):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[:]
+    w = q_ref[:].astype(x.dtype)  # int8 -> compute dtype, in-register
+    acc_ref[:] += jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * s_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _int8_matmul_pallas(
+    x: jax.Array,  # (M, K) float
+    q: jax.Array,  # (K, N) int8
+    scale: jax.Array,  # (N,) f32
+    out_dtype,
+    bm: int,
+    bn: int,
+    bk: int,
+) -> jax.Array:
+    M, K = x.shape
+    N = q.shape[1]
+    nm, nn, nk = M // bm, N // bn, K // bk
+    kernel = functools.partial(_int8_matmul_kernel, nk=nk)
+    return pl.pallas_call(
+        kernel,
+        grid=(nm, nn, nk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda m, n, k: (m, k)),
+            pl.BlockSpec((bk, bn), lambda m, n, k: (k, n)),
+            pl.BlockSpec((1, bn), lambda m, n, k: (0, n)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda m, n, k: (m, n)),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=None
+        if _INTERPRET
+        else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_INTERPRET,
+    )(x, q, scale[None, :])
+
+
+def _int8_matmul_xla(x, q, scale, out_dtype):
+    y = jax.lax.dot_general(
+        x,
+        q.astype(x.dtype),
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return (y * scale.astype(jnp.float32)).astype(out_dtype)
+
+
+def _pallas_viable(M: int, K: int, N: int, bm: int, bn: int, bk: int) -> bool:
+    if jax.default_backend() != "tpu" and not _INTERPRET:
+        return False
+    return M % bm == 0 and K % bk == 0 and N % bn == 0
+
+
+def _int8_matmul_impl(x, q, scale, out_dtype, blocks):
+    bm, bn, bk = blocks
+    M = x.shape[0]
+    if _pallas_viable(M, x.shape[1], q.shape[1], bm, bn, bk):
+        return _int8_matmul_pallas(x, q, scale, out_dtype, bm, bn, bk)
+    return _int8_matmul_xla(x, q, scale, out_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _int8_matmul(x, q, scale, out_dtype, blocks):
+    return _int8_matmul_impl(x, q, scale, out_dtype, blocks)
+
+
+def _int8_matmul_fwd(x, q, scale, out_dtype, blocks):
+    # residuals must be JAX types — carry x's dtype as a 0-size sentinel
+    x_tag = jnp.zeros((0,), x.dtype)
+    return _int8_matmul_impl(x, q, scale, out_dtype, blocks), (x_tag, q, scale)
+
+
+def _int8_matmul_bwd(out_dtype, blocks, res, g):
+    x_tag, q, scale = res
+    x_dtype = x_tag.dtype
+    # dL/dx = (g * scale) @ (q * 1.0)^T — weights are frozen under quant,
+    # so only the activation gradient exists (q/scale get symbolic zeros).
+    gs = g.astype(jnp.float32) * scale.astype(jnp.float32)
+    dx = jax.lax.dot_general(
+        gs.astype(x_dtype),
+        q.astype(x_dtype),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x_dtype)
+    return dx, None, None
+
+
+_int8_matmul.defvjp(_int8_matmul_fwd, _int8_matmul_bwd)
+
+
+def int8_matmul(
+    x: jax.Array,  # (..., K)
+    q: jax.Array,  # (K, N) int8
+    scale: jax.Array,  # (N,) f32
+    out_dtype=None,
+    block_m: int = 256,
+    block_n: int = 512,
+    block_k: int = 256,
+) -> jax.Array:
+    """``(x @ dequant(q, scale))`` with int8 weights streamed from HBM.
+
+    Leading dims of ``x`` are flattened into M. On TPU, tile-aligned shapes
+    (M % 16, K % block_k, N % block_n == 0 after M-padding) run the Pallas
+    kernel; everything else falls back to the exact-same-math XLA path.
+    """
+    # dtype as its NAME: custom_vjp nondiff args must be plain hashables.
+    out_dtype = np.dtype(out_dtype or x.dtype).name
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    N = q.shape[1]
+    x2 = x.reshape(-1, K)
+    M = x2.shape[0]
+    # Sublane-pad M (bf16 tile height 16) so tiny decode batches still take
+    # the kernel; pad rows multiply zeros and are sliced off.
+    bm = min(block_m, max(16, -(-M // 16) * 16))
+    Mp = -(-M // bm) * bm
+    if Mp != M and _pallas_viable(Mp, K, N, bm, block_n, block_k):
+        x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
+    y = _int8_matmul(x2, q, scale, out_dtype, (bm, block_n, block_k))
+    if y.shape[0] != M:
+        y = y[:M]
+    return y.reshape(*lead, N)

@@ -78,6 +78,11 @@ def tp_llama_rules(mesh: Mesh) -> Dict[str, P]:
         r"self_attn/o_proj/kernel$": P("tp", f),
         r"mlp/(gate_proj|up_proj)/kernel$": P(f, "tp"),
         r"mlp/down_proj/kernel$": P("tp", f),
+        # int8-quantized bases carry per-output-channel scales: they follow
+        # their kernel's output dim — sharded over tp when column-parallel,
+        # replicated when row-parallel (o/down output dim is unsharded).
+        r"(q_proj|k_proj|v_proj|gate_proj|up_proj)/kernel_scale$": P("tp"),
+        r"(o_proj|down_proj)/kernel_scale$": P(),
         r"(lora_A|lora_B)$": P(),
     }
 

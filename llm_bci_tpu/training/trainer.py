@@ -457,8 +457,11 @@ class Trainer:
                     new_vars = state.extra_vars
                 return out.loss, (out, new_vars)
 
+            # allow_int: int8-quantized frozen bases sit inside params; they
+            # get symbolic-zero (float0) grads, which the freeze branch of
+            # the masked optimizer ignores.
             (loss, (out, new_vars)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
+                loss_fn, has_aux=True, allow_int=True
             )(state.params)
             updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
             if self._trainable_mask is not None:

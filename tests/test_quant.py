@@ -1,0 +1,195 @@
+"""Int8 weight-only quantization of the frozen LLM base.
+
+Beyond-reference serving/memory lever (the reference runs its LLM fp16,
+``/root/reference/models/bci.py:71``): frozen Llama projection kernels and
+lm_head stored int8 + per-output-channel f32 scales, dequantized on the fly
+(``llm_bci_tpu/ops/quant.py``). Covers the op (XLA + interpret-mode Pallas
+kernel, values and grads), the Llama module path, param quantization of a
+loaded pytree, and the BCI trainer/generation end-to-end.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llm_bci_tpu.ops import quant
+
+from tests.test_bci import bci_config, synth_bci_dataset
+
+
+def _dequant(q, s):
+    return q.astype(np.float32) * np.asarray(s)[None, :]
+
+
+def test_quantize_int8_error_bound():
+    rng = np.random.default_rng(0)
+    w = rng.normal(0, 0.02, size=(128, 256)).astype(np.float32)
+    q, s = quant.quantize_int8(w)
+    assert q.dtype == np.int8 and s.shape == (256,)
+    err = np.abs(_dequant(q, s) - w)
+    assert (err <= s[None, :] / 2 + 1e-9).all()
+    # exact at the absmax positions (symmetric absmax hits ±127 exactly)
+    assert np.abs(q).max() == 127
+
+
+def test_int8_matmul_xla_matches_dequant():
+    rng = np.random.default_rng(1)
+    w = rng.normal(0, 0.05, size=(64, 192)).astype(np.float32)
+    x = rng.normal(size=(3, 5, 64)).astype(np.float32)
+    q, s = quant.quantize_int8(w)
+    y = quant.int8_matmul(jnp.asarray(x), jnp.asarray(q), jnp.asarray(s))
+    ref = x @ _dequant(q, s)
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-5, atol=1e-6)
+
+
+def test_int8_matmul_pallas_interpret_matches_xla():
+    rng = np.random.default_rng(2)
+    w = rng.normal(0, 0.05, size=(256, 256)).astype(np.float32)
+    x = rng.normal(size=(8, 256)).astype(np.float32)
+    q, s = quant.quantize_int8(w)
+    args = (jnp.asarray(x), jnp.asarray(q), jnp.asarray(s))
+    y_xla = quant.int8_matmul(*args)
+    quant.set_interpret_mode(True)
+    try:
+        y_pl = quant.int8_matmul(*args, block_n=128, block_k=128)
+    finally:
+        quant.set_interpret_mode(False)
+    np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_xla), rtol=1e-5)
+
+
+def test_int8_matmul_grad_is_dequant_grad():
+    rng = np.random.default_rng(3)
+    w = rng.normal(0, 0.05, size=(64, 96)).astype(np.float32)
+    x = rng.normal(size=(7, 64)).astype(np.float32)
+    q, s = quant.quantize_int8(w)
+
+    g = jax.grad(
+        lambda xx: (quant.int8_matmul(xx, jnp.asarray(q), jnp.asarray(s)) ** 2).sum()
+    )(jnp.asarray(x))
+    wd = _dequant(q, s)
+    gref = 2.0 * (x @ wd) @ wd.T
+    np.testing.assert_allclose(np.asarray(g), gref, rtol=1e-4, atol=1e-5)
+    # int8 kernel and scale take no gradient (frozen by construction)
+    gq, gs = jax.grad(
+        lambda qq, ss: quant.int8_matmul(
+            jnp.asarray(x), qq, ss
+        ).sum(),
+        argnums=(0, 1),
+        allow_int=True,
+    )(jnp.asarray(q), jnp.asarray(s))
+    assert np.all(np.asarray(gs) == 0)
+
+
+def test_quantize_llama_params_structure():
+    from llm_bci_tpu.models.llama import (
+        LlamaConfig,
+        LlamaForCausalLM,
+        quantize_llama_params,
+    )
+
+    cfg = LlamaConfig.debug()
+    model = LlamaForCausalLM(cfg, freeze_base=True)
+    params = model.init(
+        jax.random.PRNGKey(0), input_ids=jnp.zeros((1, 4), jnp.int32)
+    )["params"]
+    qparams = quantize_llama_params(jax.device_get(params))
+    attn = qparams["layers_0"]["self_attn"]["q_proj"]
+    assert attn["kernel"].dtype == np.int8
+    assert attn["kernel_scale"].shape == (cfg.hidden_size,)
+    assert qparams["lm_head"]["kernel"].dtype == np.int8
+    # norms/embeddings untouched
+    assert qparams["norm"]["weight"].dtype != np.int8
+    assert qparams["embed_tokens"]["embedding"].dtype != np.int8
+    qparams2 = quantize_llama_params(jax.device_get(params), quant_lm_head=False)
+    assert qparams2["lm_head"]["kernel"].dtype != np.int8
+
+
+def test_llama_quant_forward_matches_dequantized_model():
+    """A quant='int8' Llama must produce (near-)identical logits to the
+    plain bf16 model evaluated at the dequantized weights — the quant path
+    changes the storage format, not the math."""
+    from llm_bci_tpu.models.llama import (
+        LlamaConfig,
+        LlamaForCausalLM,
+        quantize_llama_params,
+    )
+
+    cfg = LlamaConfig.debug()
+    base = LlamaForCausalLM(cfg, freeze_base=True, dtype=jnp.float32)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 100, size=(2, 6)))
+    params = base.init(jax.random.PRNGKey(0), input_ids=ids)["params"]
+    host = jax.device_get(params)
+    qparams = quantize_llama_params(host)
+
+    # dequantize back into the plain model's layout
+    def dq(node):
+        out = {}
+        for k, v in node.items():
+            if isinstance(v, dict):
+                if "kernel_scale" in v:
+                    out[k] = {
+                        kk: vv
+                        for kk, vv in v.items()
+                        if kk != "kernel_scale"
+                    }
+                    out[k]["kernel"] = _dequant(v["kernel"], v["kernel_scale"])
+                else:
+                    out[k] = dq(v)
+            else:
+                out[k] = v
+        return out
+
+    deq_params = dq(qparams)
+    logits_ref, _ = base.apply({"params": deq_params}, input_ids=ids)
+
+    qmodel = LlamaForCausalLM(cfg, freeze_base=True, dtype=jnp.float32, quant="int8")
+    logits_q, _ = qmodel.apply({"params": qparams}, input_ids=ids)
+    np.testing.assert_allclose(
+        np.asarray(logits_q), np.asarray(logits_ref), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_bci_trainer_int8_quant(tmp_path):
+    """End-to-end: BCI with method.model_kwargs.quantize=int8 trains (LoRA
+    on an int8 base), evaluates finite, and generates."""
+    from llm_bci_tpu.training import Trainer
+
+    cfg = bci_config(tmp_path)
+    cfg["method"]["model_kwargs"]["quantize"] = "int8"
+    trainer = Trainer(cfg, dataset=synth_bci_dataset())
+
+    # the base kernels really are int8 + scales; LoRA factors stay float
+    flat = jax.tree_util.tree_flatten_with_path(trainer.state.params)[0]
+    kinds = {"int8_kernels": 0, "scales": 0, "lora": 0}
+    for path, leaf in flat:
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        if not name.startswith("llm/"):
+            continue
+        if name.endswith("proj/kernel") or name.endswith("lm_head/kernel"):
+            assert leaf.dtype == jnp.int8, name
+            kinds["int8_kernels"] += 1
+        if name.endswith("kernel_scale"):
+            assert leaf.dtype == jnp.float32, name
+            kinds["scales"] += 1
+        if "lora_" in name:
+            assert leaf.dtype == jnp.float32, name
+            kinds["lora"] += 1
+    assert kinds["int8_kernels"] > 0 and kinds["scales"] == kinds["int8_kernels"]
+    assert kinds["lora"] > 0
+
+    loss0, _ = trainer.evaluate()
+    trainer.train()
+    loss1, _ = trainer.evaluate()
+    assert np.isfinite(loss0) and np.isfinite(loss1)
+
+    batch, _ = next(iter(trainer.test_dataloader))
+    gen_inputs = {
+        k: jnp.asarray(v)
+        for k, v in batch.items()
+        if k in (
+            "input_ids", "attention_mask", "input_split", "spikes", "spikes_mask",
+            "spikes_timestamp", "spikes_lengths", "block_idx", "day_idx",
+        )
+    }
+    tokens = trainer.model_handle.generate(**gen_inputs, max_new_tokens=4)
+    assert np.asarray(tokens).shape[-1] == 4
