@@ -67,6 +67,50 @@ def quantize_int8(w, axis: int = 0) -> Tuple[np.ndarray, np.ndarray]:
     return q, np.squeeze(scale, axis=axis).astype(np.float32)
 
 
+def adapt_quantization(saved, target):
+    """Re-lay-out a saved param (sub)tree to match ``target``'s quantization.
+
+    Checkpoints are written in whatever layout the model trained with; a
+    user may then load them into a model built with a different
+    ``quantize`` setting. At any dict node holding a ``kernel`` leaf:
+
+    * target int8 + ``kernel_scale``, saved float → **quantize** the saved
+      kernel (symmetric absmax, per-output-channel — post-training
+      quantization of the trained weights);
+    * target float, saved int8 + ``kernel_scale`` → **dequantize**;
+    * layouts already agree → pass through.
+
+    Host-side numpy; other leaves pass through untouched. Without this,
+    a leaf-wise dtype cast would turn trained bf16 kernels into garbage
+    int8 (unscaled truncation) or int8 codes into tiny floats.
+    """
+    if not (isinstance(saved, dict) and isinstance(target, dict)):
+        return saved
+    out = {
+        k: adapt_quantization(v, target[k])
+        if isinstance(v, dict) and isinstance(target.get(k), dict)
+        else v
+        for k, v in saved.items()
+    }
+    t_k, s_k = target.get("kernel"), out.get("kernel")
+    if t_k is None or s_k is None or isinstance(s_k, dict):
+        return out
+    t_int8 = np.dtype(getattr(t_k, "dtype", np.float32)) == np.int8
+    s_arr = np.asarray(s_k)
+    # note: bf16 arrays restore as ml_dtypes.bfloat16, which is NOT a
+    # np.floating subtype — "float" here means "not an integer code".
+    s_float = not np.issubdtype(s_arr.dtype, np.integer)
+    if t_int8 and s_float:
+        s_arr = s_arr.astype(np.float32)
+        q, scale = quantize_int8(s_arr, axis=0)
+        out["kernel"], out["kernel_scale"] = q, scale
+    elif not t_int8 and s_arr.dtype == np.int8 and "kernel_scale" in out:
+        scale = np.asarray(out.pop("kernel_scale"), dtype=np.float32)
+        deq = s_arr.astype(np.float32) * scale[None, :]
+        out["kernel"] = deq.astype(np.dtype(getattr(t_k, "dtype", np.float32)))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Pallas kernel: out[m, n] = sum_k x[m, k] * q[k, n] * scale[n]
 # ---------------------------------------------------------------------------

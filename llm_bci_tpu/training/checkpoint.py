@@ -63,6 +63,31 @@ def _overlay(target: Any, restored: Any) -> Any:
         for p, v in jax.tree_util.tree_flatten_with_path(restored)[0]
         if v is not None
     }
+
+    # Quantization-layout changes between save and load: a float kernel
+    # restored into an int8 target leaf must be QUANTIZED (the plain dtype
+    # cast below would produce unscaled truncation garbage), and an int8
+    # kernel restored into a float target must be DEQUANTIZED with its
+    # saved scale. Mirrors ops.quant.adapt_quantization, but on the
+    # path-keyed leaf map.
+    from llm_bci_tpu.ops.quant import quantize_int8
+
+    for path, t in jax.tree_util.tree_flatten_with_path(target)[0]:
+        ks = keystr(path)
+        if not ks.endswith("/kernel"):
+            continue
+        v = saved.get(ks)
+        if v is None:
+            continue
+        arr = np.asarray(v)
+        t_int8 = np.dtype(getattr(t, "dtype", np.float32)) == np.int8
+        if t_int8 and not np.issubdtype(arr.dtype, np.integer):
+            q, scale = quantize_int8(arr, axis=0)
+            saved[ks], saved[ks + "_scale"] = q, scale
+        elif not t_int8 and arr.dtype == np.int8 and ks + "_scale" in saved:
+            scale = np.asarray(saved[ks + "_scale"], dtype=np.float32)
+            saved[ks] = arr.astype(np.float32) * scale[None, :]
+
     filled: list = []
     mismatched: list = []
 

@@ -23,6 +23,17 @@ def save_params(path: str, params: Any) -> None:
 
 
 def load_params(path: str, target: Any) -> Any:
-    """Load msgpack bytes into the structure of ``target`` (shape-checked)."""
+    """Load msgpack bytes into the structure of ``target`` (shape-checked).
+
+    Tolerant of a quantization-layout change between save and load: float
+    kernels saved from an unquantized model re-quantize into an int8+scale
+    target (post-training quantization), and int8+scale pairs dequantize
+    into a float target — see
+    :func:`llm_bci_tpu.ops.quant.adapt_quantization`.
+    """
+    from llm_bci_tpu.ops.quant import adapt_quantization
+
     with open(path, "rb") as f:
-        return serialization.from_bytes(target, f.read())
+        raw = serialization.msgpack_restore(f.read())
+    raw = adapt_quantization(raw, serialization.to_state_dict(target))
+    return serialization.from_state_dict(target, raw)

@@ -193,3 +193,115 @@ def test_bci_trainer_int8_quant(tmp_path):
     }
     tokens = trainer.model_handle.generate(**gen_inputs, max_new_tokens=4)
     assert np.asarray(tokens).shape[-1] == 4
+
+
+def test_adapt_quantization_both_directions():
+    """Float kernels re-quantize into an int8+scale layout and int8+scale
+    pairs dequantize into a float layout; unrelated leaves pass through."""
+    rng = np.random.default_rng(3)
+    w = rng.normal(0, 0.02, size=(16, 8)).astype(np.float32)
+    q, s = quant.quantize_int8(w)
+
+    float_tree = {"proj": {"kernel": w}, "norm": {"weight": np.ones(8)}}
+    int8_tree = {
+        "proj": {"kernel": q, "kernel_scale": s},
+        "norm": {"weight": np.ones(8)},
+    }
+
+    # float checkpoint -> int8 model: post-training quantization
+    out = quant.adapt_quantization(float_tree, int8_tree)
+    np.testing.assert_array_equal(out["proj"]["kernel"], q)
+    np.testing.assert_allclose(out["proj"]["kernel_scale"], s)
+    np.testing.assert_array_equal(out["norm"]["weight"], np.ones(8))
+
+    # int8 checkpoint -> float model: dequantize, drop the scale
+    out = quant.adapt_quantization(int8_tree, float_tree)
+    assert "kernel_scale" not in out["proj"]
+    np.testing.assert_allclose(
+        out["proj"]["kernel"], _dequant(q, s), rtol=1e-6, atol=1e-7
+    )
+
+    # already matching layouts pass through untouched
+    out = quant.adapt_quantization(int8_tree, int8_tree)
+    np.testing.assert_array_equal(out["proj"]["kernel"], q)
+    out = quant.adapt_quantization(float_tree, float_tree)
+    np.testing.assert_array_equal(out["proj"]["kernel"], w)
+
+
+def test_msgpack_warmstart_across_quant_change(tmp_path):
+    """A component msgpack saved from a bf16 model loads into a
+    quantize='int8' model (and vice versa) with proper (de)quantization —
+    the user trains unquantized, then serves int8 from the same blob."""
+    from llm_bci_tpu.models.llama import LlamaConfig, LlamaForCausalLM
+    from llm_bci_tpu.utils.serialization import load_params, save_params
+
+    cfg = LlamaConfig.debug()
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 100, size=(1, 5)))
+    base = LlamaForCausalLM(cfg, freeze_base=True, dtype=jnp.float32)
+    params = base.init(jax.random.PRNGKey(0), input_ids=ids)["params"]
+    path = str(tmp_path / "llm.msgpack")
+    save_params(path, params)
+
+    qmodel = LlamaForCausalLM(
+        cfg, freeze_base=True, dtype=jnp.float32, quant="int8"
+    )
+    qtarget = qmodel.init(jax.random.PRNGKey(1), input_ids=ids)["params"]
+    qloaded = load_params(path, qtarget)
+
+    # spot-check one projection: the loaded int8 codes are the PTQ of the
+    # saved float kernel, not a dtype cast of it
+    saved_k = np.asarray(
+        jax.device_get(params["layers_0"]["self_attn"]["q_proj"]["kernel"])
+    )
+    exp_q, exp_s = quant.quantize_int8(saved_k)
+    got = qloaded["layers_0"]["self_attn"]["q_proj"]
+    np.testing.assert_array_equal(np.asarray(got["kernel"]), exp_q)
+    np.testing.assert_allclose(np.asarray(got["kernel_scale"]), exp_s)
+
+    # logits of the quantized load match the original within quant error
+    logits_f, _ = base.apply({"params": params}, input_ids=ids)
+    logits_q, _ = qmodel.apply({"params": qloaded}, input_ids=ids)
+    np.testing.assert_allclose(
+        np.asarray(logits_q), np.asarray(logits_f), rtol=0.1, atol=0.05
+    )
+
+    # reverse: int8 blob into a float model dequantizes
+    qpath = str(tmp_path / "llm_q.msgpack")
+    save_params(qpath, qloaded)
+    floaded = load_params(qpath, params)
+    np.testing.assert_allclose(
+        np.asarray(floaded["layers_0"]["self_attn"]["q_proj"]["kernel"]),
+        _dequant(exp_q, exp_s),
+        rtol=1e-6,
+        atol=1e-7,
+    )
+
+
+def test_orbax_overlay_requantizes():
+    """The Orbax restore overlay quantizes float kernels into int8 targets
+    (and dequantizes int8 into float targets) instead of dtype-casting."""
+    from llm_bci_tpu.training.checkpoint import _overlay
+
+    rng = np.random.default_rng(7)
+    w = rng.normal(0, 0.02, size=(8, 4)).astype(np.float32)
+    q, s = quant.quantize_int8(w)
+
+    target = {
+        "params": {"proj": {"kernel": q * 0, "kernel_scale": s * 0}},
+        "step": np.int32(0),
+    }
+    restored = {"params": {"proj": {"kernel": w}}, "step": np.int32(5)}
+    out = _overlay(target, restored)
+    np.testing.assert_array_equal(out["params"]["proj"]["kernel"], q)
+    np.testing.assert_allclose(out["params"]["proj"]["kernel_scale"], s)
+    assert out["step"] == 5
+
+    target_f = {"params": {"proj": {"kernel": w * 0}}, "step": np.int32(0)}
+    restored_q = {
+        "params": {"proj": {"kernel": q, "kernel_scale": s}},
+        "step": np.int32(5),
+    }
+    out = _overlay(target_f, restored_q)
+    np.testing.assert_allclose(
+        out["params"]["proj"]["kernel"], _dequant(q, s), rtol=1e-6, atol=1e-7
+    )
