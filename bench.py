@@ -415,15 +415,17 @@ def kernel_selftest() -> str:
     xq = jnp.asarray(rng.normal(size=(Mq, Kq)).astype(np.float32))
     qm, sc = quant.quantize_int8(wq)
     qm, sc = jnp.asarray(qm), jnp.asarray(sc)
-    # tile-aligned shapes take the Pallas kernel on TPU …
+    # tile-aligned shapes take the Pallas kernel on TPU; the XLA oracle
+    # calls the convert+dot implementation directly. Mosaic and XLA may
+    # pick different f32 matmul decompositions on the MXU (single- vs
+    # multi-pass bf16), so compare at bf16-rounding tolerance.
     y_pl = jax.jit(
         lambda x: quant.int8_matmul(x, qm, sc, block_n=256, block_k=256)
     )(xq)
-    # … while an unaligned K forces the XLA fallback of the same op.
     y_xla = jax.jit(lambda x: quant._int8_matmul_xla(x, qm, sc, "float32"))(xq)
     np.testing.assert_allclose(
         np.asarray(jax.device_get(y_pl)), np.asarray(jax.device_get(y_xla)),
-        rtol=2e-5, atol=2e-5,
+        rtol=4e-3, atol=2e-4,
     )
     return "ok"
 

@@ -94,7 +94,7 @@ class BCI(nn.Module):
     dtype: Any = jnp.bfloat16
     # "int8" stores the frozen LLM base as int8 + per-channel scales
     # (weight-only; LoRA/norms/embeddings stay bf16) — ~half the HBM bytes
-    # of the bf16 base, ~quarter of the reference's fp16 layout.
+    # of the bf16 base (the reference's fp16 layout is the same 2 B/weight).
     quant: Any = None
 
     @classmethod

@@ -11,7 +11,7 @@ int8 magnitudes (<= 127) are exactly representable in bf16, so the only
 error is the weight rounding itself (<= scale/2 per element). The win is
 HBM bytes — the usual bound for both the B<=8 KV-cache decode (weights
 stream every token) and the frozen-base fine-tune step: int8 halves
-weight traffic vs bf16 and quarters it vs the reference's fp16-master
+weight traffic vs the bf16 (or the reference's fp16, both 2-byte)
 layout, and a 7B base drops to ~6.8 GB of HBM.
 
 Two matmul paths:
@@ -40,11 +40,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _INTERPRET = False
+_FORCE_XLA = False
 
 
 def set_interpret_mode(value: bool) -> None:
     global _INTERPRET
     _INTERPRET = value
+
+
+def set_force_xla(value: bool) -> None:
+    """Route all int8 matmuls to the XLA convert+dot path. Set by the
+    trainer under tensor parallelism: ``pallas_call`` is a custom call the
+    SPMD partitioner can't split, so a tp-sharded int8 kernel would be
+    all-gathered per layer; the XLA path partitions normally (and keeps
+    the int8 HBM-residency win)."""
+    global _FORCE_XLA
+    _FORCE_XLA = value
 
 
 # ---------------------------------------------------------------------------
@@ -65,6 +76,14 @@ def quantize_int8(w, axis: int = 0) -> Tuple[np.ndarray, np.ndarray]:
     scale = np.maximum(absmax, 1e-12) / 127.0
     q = np.clip(np.rint(w / scale), -127, 127).astype(np.int8)
     return q, np.squeeze(scale, axis=axis).astype(np.float32)
+
+
+def dequantize_int8(q, scale, dtype=np.float32) -> np.ndarray:
+    """Inverse of :func:`quantize_int8` for (in, out) kernels (host-side
+    numpy). Shared by both checkpoint-layout adapters — keep the math in
+    one place."""
+    w = np.asarray(q).astype(np.float32) * np.asarray(scale, np.float32)[None, :]
+    return w.astype(np.dtype(dtype))
 
 
 def adapt_quantization(saved, target):
@@ -105,9 +124,9 @@ def adapt_quantization(saved, target):
         q, scale = quantize_int8(s_arr, axis=0)
         out["kernel"], out["kernel_scale"] = q, scale
     elif not t_int8 and s_arr.dtype == np.int8 and "kernel_scale" in out:
-        scale = np.asarray(out.pop("kernel_scale"), dtype=np.float32)
-        deq = s_arr.astype(np.float32) * scale[None, :]
-        out["kernel"] = deq.astype(np.dtype(getattr(t_k, "dtype", np.float32)))
+        out["kernel"] = dequantize_int8(
+            s_arr, out.pop("kernel_scale"), getattr(t_k, "dtype", np.float32)
+        )
     return out
 
 
@@ -175,7 +194,18 @@ def _int8_matmul_xla(x, q, scale, out_dtype):
     return (y * scale.astype(jnp.float32)).astype(out_dtype)
 
 
+def _fit_block(dim: int, block: int) -> int:
+    """Largest of {block, 256, 128} that divides ``dim`` (else ``block``,
+    and the viability check routes to the XLA fallback)."""
+    for b in (block, 256, 128):
+        if b <= block and dim % b == 0:
+            return b
+    return block
+
+
 def _pallas_viable(M: int, K: int, N: int, bm: int, bn: int, bk: int) -> bool:
+    if _FORCE_XLA:
+        return False
     if jax.default_backend() != "tpu" and not _INTERPRET:
         return False
     return M % bm == 0 and K % bk == 0 and N % bn == 0
@@ -230,14 +260,20 @@ def int8_matmul(
     """``(x @ dequant(q, scale))`` with int8 weights streamed from HBM.
 
     Leading dims of ``x`` are flattened into M. On TPU, tile-aligned shapes
-    (M % 16, K % block_k, N % block_n == 0 after M-padding) run the Pallas
-    kernel; everything else falls back to the exact-same-math XLA path.
+    (M % 16 after M-padding; K and N divisible by SOME block in
+    {block, 256, 128}) run the Pallas kernel; everything else falls back
+    to the exact-same-math XLA path.
     """
     # dtype as its NAME: custom_vjp nondiff args must be plain hashables.
     out_dtype = np.dtype(out_dtype or x.dtype).name
     lead = x.shape[:-1]
     K = x.shape[-1]
     N = q.shape[1]
+    # Shrink blocks to fit the dim: Llama-2-7B's ffn/vocab dims (11008,
+    # 32000) are 256- but not 512-aligned — a fixed block would silently
+    # route exactly the largest kernels to the XLA fallback.
+    block_n = _fit_block(N, block_n)
+    block_k = _fit_block(K, block_k)
     x2 = x.reshape(-1, K)
     M = x2.shape[0]
     # Sublane-pad M (bf16 tile height 16) so tiny decode batches still take

@@ -68,9 +68,11 @@ def _overlay(target: Any, restored: Any) -> Any:
     # restored into an int8 target leaf must be QUANTIZED (the plain dtype
     # cast below would produce unscaled truncation garbage), and an int8
     # kernel restored into a float target must be DEQUANTIZED with its
-    # saved scale. Mirrors ops.quant.adapt_quantization, but on the
-    # path-keyed leaf map.
-    from llm_bci_tpu.ops.quant import quantize_int8
+    # saved scale. Same rules as ops.quant.adapt_quantization (which
+    # serves the nested-dict msgpack path), applied to the path-keyed
+    # leaf map this overlay matches on; the (de)quantization math itself
+    # is shared via quantize_int8/dequantize_int8.
+    from llm_bci_tpu.ops.quant import dequantize_int8, quantize_int8
 
     for path, t in jax.tree_util.tree_flatten_with_path(target)[0]:
         ks = keystr(path)
@@ -85,8 +87,9 @@ def _overlay(target: Any, restored: Any) -> Any:
             q, scale = quantize_int8(arr, axis=0)
             saved[ks], saved[ks + "_scale"] = q, scale
         elif not t_int8 and arr.dtype == np.int8 and ks + "_scale" in saved:
-            scale = np.asarray(saved[ks + "_scale"], dtype=np.float32)
-            saved[ks] = arr.astype(np.float32) * scale[None, :]
+            saved[ks] = dequantize_int8(
+                arr, saved[ks + "_scale"], getattr(t, "dtype", np.float32)
+            )
 
     filled: list = []
     mismatched: list = []

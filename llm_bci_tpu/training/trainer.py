@@ -347,6 +347,14 @@ class Trainer:
             from llm_bci_tpu.parallel.mesh import tp_llama_rules
 
             rules = tp_llama_rules(self.mesh)
+            # The Pallas int8 dequant-matmul is a custom call GSPMD cannot
+            # partition: under tp>1 it would force an all-gather of each
+            # tp-sharded int8 kernel, negating TP. The XLA convert+dot path
+            # partitions normally and keeps int8 HBM *residency* (the
+            # streamed-bytes win is the single-chip serving case anyway).
+            from llm_bci_tpu.ops import quant
+
+            quant.set_force_xla(True)
         self.param_shardings = shard_pytree(
             params_shape, self.mesh, rules=rules, min_size=min_size
         )

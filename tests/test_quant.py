@@ -305,3 +305,24 @@ def test_orbax_overlay_requantizes():
     np.testing.assert_allclose(
         out["params"]["proj"]["kernel"], _dequant(q, s), rtol=1e-6, atol=1e-7
     )
+
+
+def test_fit_block_7b_shapes():
+    """Llama-2-7B's ffn (11008) and vocab (32000) dims are 256- but not
+    512-aligned: the block must shrink so they still take the Pallas path."""
+    assert quant._fit_block(11008, 512) == 256
+    assert quant._fit_block(32000, 512) == 256
+    assert quant._fit_block(4096, 512) == 512
+    assert quant._fit_block(100, 512) == 512  # no fit -> XLA fallback
+    assert not quant._pallas_viable(16, 100, 100, 16, 512, 512)
+
+
+def test_force_xla_disables_pallas():
+    quant.set_interpret_mode(True)
+    try:
+        assert quant._pallas_viable(16, 256, 256, 16, 128, 128)
+        quant.set_force_xla(True)
+        assert not quant._pallas_viable(16, 256, 256, 16, 128, 128)
+    finally:
+        quant.set_force_xla(False)
+        quant.set_interpret_mode(False)
