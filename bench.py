@@ -527,20 +527,31 @@ def main():
     )
 
 
-def _bci_model_and_batch(quant=None):
+def _bci_model_and_batch(quant=None, llm="bench"):
     """Shared BCI fixture: NDT1 trunk + projector + LoRA Llama decoder at a
     single-chip-feasible LLM size (12L/1024h ~ 200M, GQA 4 kv heads).
-    ``quant="int8"`` stores the frozen Llama base int8 (weight-only)."""
+    ``quant="int8"`` stores the frozen Llama base int8 (weight-only).
+    ``llm="7b"`` uses TRUE Llama-2-7B dims (32L/4096h/11008ffn/32 heads,
+    the reference's actual decoder, configs/trainer_bci.yaml llm_path):
+    ~6.9 GB of int8 weights — serves on one 16 GB chip, where the bf16
+    layout (13.5 GB weights alone) cannot."""
     from llm_bci_tpu.config import DictConfig
     from llm_bci_tpu.models.bci import BCI
     from llm_bci_tpu.models.llama import LlamaConfig
 
     Bb, Tsp, Nch, L = 8, 512, 256, 64
-    llama = LlamaConfig(
-        vocab_size=32000, hidden_size=1024, intermediate_size=2816,
-        num_hidden_layers=12, num_attention_heads=16, num_key_value_heads=4,
-        max_position_embeddings=2048,
-    )
+    if llm == "7b":
+        llama = LlamaConfig(
+            vocab_size=32000, hidden_size=4096, intermediate_size=11008,
+            num_hidden_layers=32, num_attention_heads=32,
+            num_key_value_heads=32, max_position_embeddings=2048,
+        )
+    else:
+        llama = LlamaConfig(
+            vocab_size=32000, hidden_size=1024, intermediate_size=2816,
+            num_hidden_layers=12, num_attention_heads=16, num_key_value_heads=4,
+            max_position_embeddings=2048,
+        )
     model = BCI(
         config={
             "projector": {"stacking": 1, "inter_size": 2048, "bias": True, "act": "relu"},
@@ -720,7 +731,7 @@ def main_bci():
     )
 
 
-def bench_generate(greedy_only: bool = False, quant=None) -> dict:
+def bench_generate(greedy_only: bool = False, quant=None, llm="bench") -> dict:
     """Serving path: jitted KV-cache decode from the spliced neural prompt
     (the eval_phonemes WER surface, reference models/bci.py:224-246).
     Reports greedy new-tokens/s and diverse-beam(5) sequences/s
@@ -731,7 +742,7 @@ def bench_generate(greedy_only: bool = False, quant=None) -> dict:
     import jax
 
     _set_rng_impl()
-    model, batch, Bb = _bci_model_and_batch(quant=quant)
+    model, batch, Bb = _bci_model_and_batch(quant=quant, llm=llm)
     gen_keys = (
         "input_ids", "attention_mask", "input_split", "spikes",
         "spikes_mask", "spikes_timestamp", "spikes_lengths",
@@ -797,8 +808,31 @@ def main_generate():
     )
 
 
+def main_generate7b():
+    """True Llama-2-7B-shape BCI serving from int8 weights on ONE chip.
+
+    The reference serves its 7B decoder across 4 GPUs (deepspeed/kai.yaml);
+    the bf16 layout alone (13.5 GB) exceeds a 16 GB chip once the KV cache
+    and program are added. int8 weight-only (~6.9 GB) makes single-chip
+    serving of the real model size feasible — this measures it (greedy
+    decode; random weights, identical compute/memory profile to real ones)."""
+    out = bench_generate(greedy_only=True, quant="int8", llm="7b")
+    print(
+        json.dumps(
+            {
+                "metric": "bci7b_int8_greedy_tokens_per_sec",
+                "value": out["greedy_tokens_per_sec"],
+                "unit": "new tokens/s/chip",
+                "vs_baseline": 1.0,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    if "--workload" in sys.argv and "bci" in sys.argv:
+    if "--workload" in sys.argv and "generate7b" in sys.argv:
+        main_generate7b()
+    elif "--workload" in sys.argv and "bci" in sys.argv:
         main_bci()
     elif "--workload" in sys.argv and "generate" in sys.argv:
         main_generate()
