@@ -9,6 +9,8 @@ decode instead of HF ``generate``), decodes, and accumulates word errors.
 Usage:
   python eval_phonemes.py -k from_pt=checkpoints/bci/STEP500 beams=5 \
       savestring=wer_run test_len=50
+  # serve the frozen base int8 (weight-only PTQ of the saved kernels):
+  python eval_phonemes.py -k from_pt=... quantize=int8
 
 Also includes the offline analysis helpers of the reference
 (``eval_phonemes.py:128-260``): bootstrap-CI WER and best-of-k curves over
@@ -43,6 +45,11 @@ def main(args):
     config["training"]["test_batch_size"] = 1
     config["data"]["test_len"] = test_len
     config["method"]["metric_kwargs"]["n_beams"] = beams
+    # -k quantize=int8: serve the frozen LLM base int8 (weight-only) even
+    # from a bf16-trained checkpoint — the restore path post-training-
+    # quantizes the saved kernels (ops/quant.py adapt_quantization).
+    if kwargs.get("quantize"):
+        config["method"]["model_kwargs"]["quantize"] = kwargs["quantize"]
 
     dataset = load_competition_data(**config.data)
     from transformers import AutoTokenizer

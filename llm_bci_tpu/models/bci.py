@@ -126,9 +126,15 @@ class BCI(nn.Module):
             llama_config = LlamaConfig.from_dict(json.load(open(cfg_json)))
             cfg["llm_path"] = llm_path
 
+        # LoRA adapters are built whenever the (saved) config asks for them —
+        # including from_pt reloads: eval_phonemes serves the FINE-TUNED
+        # model, and the checkpoint's llm.msgpack carries the trained
+        # lora_A/B (the reference loads adapters via peft at eval,
+        # eval_phonemes.py:60-66). Dropping them here would silently score
+        # the un-adapted base (flax's from_state_dict ignores unknown keys).
         lora = method_kwargs.get("lora")
         lora_kwargs = {}
-        if lora is not None and pt_path is None:
+        if lora is not None:
             lora_kwargs = dict(
                 lora_r=int(lora["r"]),
                 lora_alpha=float(lora["alpha"]),

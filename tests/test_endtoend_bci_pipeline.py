@@ -145,3 +145,54 @@ def test_bci_train_then_wer_eval(tmp_path):
     tokens, target = all_preds[0]
     assert np.asarray(tokens).shape[0] == 2          # both beams saved
     assert isinstance(target, str)
+
+    # The eval-time model must carry the TRAINED LoRA adapters (the
+    # reference loads adapters via peft at eval): compare a lora_A leaf
+    # of the reloaded model against the trained trainer's.
+    import jax as _jax
+
+    def lora_leaf(params):
+        return np.asarray(
+            _jax.device_get(
+                params["llm"]["layers_0"]["self_attn"]["q_proj"]["lora_A"]
+            )
+        )
+
+    from llm_bci_tpu.config import DictConfig
+    from llm_bci_tpu.models.bci import BCI as _BCI
+
+    saved_cfg = yaml.safe_load(
+        open(os.path.join(step_dir, "trainer_config.yaml"))
+    )
+    model_cfg = saved_cfg.get("model") or {}
+    model_cfg["from_pt"] = step_dir
+    reloaded = _BCI.from_config(
+        DictConfig(model_cfg), **saved_cfg["method"]["model_kwargs"]
+    )
+    import jax.numpy as jnp
+
+    rb = {k: jnp.asarray(v) for k, v in next(iter(trainer.test_dataloader))[0].items()
+          if k in ("input_ids", "attention_mask", "input_split", "spikes",
+                   "spikes_mask", "spikes_timestamp", "spikes_lengths",
+                   "block_idx", "day_idx", "targets")}
+    rparams = reloaded.init(_jax.random.PRNGKey(0), **rb, training=False)["params"]
+    rparams = reloaded.warm_start_params(rparams)
+    np.testing.assert_array_equal(
+        lora_leaf(rparams), lora_leaf(_jax.device_get(trainer.state.params))
+    )
+    assert not np.all(lora_leaf(rparams) == 0)       # actually trained
+
+    # Serve the SAME bf16-trained checkpoint with the base post-training-
+    # quantized to int8 (-k quantize=int8): the restore path requantizes
+    # the saved float kernels instead of dtype-casting them.
+    metrics_q = eval_mod.main(
+        argparse.Namespace(
+            config_file="none",
+            kwargs={
+                "from_pt": step_dir, "beams": "1", "test_len": "2",
+                "savestring": str(tmp_path / "wer_preds_int8"),
+                "quantize": "int8",
+            },
+        )
+    )
+    assert np.isfinite(metrics_q["WER"])
