@@ -491,6 +491,11 @@ def main():
     selftest = kernel_selftest()
     bci = bench_bci()
     gen = bench_generate(greedy_only=True)
+    gen_int8 = bench_generate(greedy_only=True, quant="int8")
+    gen["int8_greedy_tokens_per_sec"] = gen_int8["greedy_tokens_per_sec"]
+    gen["int8_vs_bf16"] = round(
+        gen_int8["greedy_tokens_per_sec"] / gen["greedy_tokens_per_sec"], 3
+    )
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
     vs, mlm_vs = 1.0, 1.0
