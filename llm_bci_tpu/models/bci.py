@@ -109,17 +109,41 @@ class BCI(nn.Module):
         if ndt1_pt:
             cfg["ndt1"]["encoder"]["from_pt"] = ndt1_pt
         if pt_path:
-            proj_cfg_path = os.path.join(pt_path, "projector_config.yaml")
-            if os.path.exists(proj_cfg_path):
-                cfg["projector"] = update_config(
-                    cfg["projector"], yaml.safe_load(open(proj_cfg_path))
-                )
+            # Re-merge the component configs saved with the checkpoint
+            # (save_config) so the reloaded model is structurally identical
+            # to the trained one (reference from_pretrained re-reads its
+            # saved configs, models/bci.py:88-101).
+            for key, fname in (
+                ("projector", "projector_config.yaml"),
+                ("encoder", "encoder_config.yaml"),
+            ):
+                path = os.path.join(pt_path, fname)
+                if not os.path.exists(path):
+                    continue
+                saved = yaml.safe_load(open(path))
+                if key == "projector":
+                    cfg["projector"] = update_config(cfg["projector"], saved)
+                else:
+                    cfg["ndt1"]["encoder"] = update_config(
+                        cfg["ndt1"]["encoder"], saved
+                    )
+                    # the saved config may carry a stale training-time
+                    # from_pt (the NDT1 pretrain dir); this reload's source
+                    # of truth is the checkpoint itself
+                    cfg["ndt1"]["encoder"]["from_pt"] = ndt1_pt
 
         debug = bool(method_kwargs.get("debug", False))
+        saved_llama_cfg = (
+            os.path.join(pt_path, "llama_config.yaml") if pt_path else None
+        )
         if debug:
             llama_config = LlamaConfig.debug()
+        elif saved_llama_cfg and os.path.exists(saved_llama_cfg):
+            # checkpoint reload: save_config writes the dataclass as yaml
+            # (HF dirs have config.json, checkpoint dirs do not)
+            llama_config = LlamaConfig(**yaml.safe_load(open(saved_llama_cfg)))
         else:
-            llm_path = pt_path or method_kwargs.get("llm_path")
+            llm_path = method_kwargs.get("llm_path")
             cfg_json = os.path.join(llm_path, "config.json")
             import json
 

@@ -1,4 +1,6 @@
 """End-to-end BCI (debug Llama) through the Trainer, plus splice unit tests."""
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -211,3 +213,42 @@ def test_bci_generate(tmp_path):
         **gen_inputs, max_new_tokens=5, num_beams=3
     )
     assert beam_tokens.shape == (4, 5)
+
+
+def test_from_config_reload_without_debug_flag(tmp_path):
+    """A checkpoint reload must reconstruct the trained model WITHOUT the
+    original method kwargs: the Llama config comes from the checkpoint's
+    llama_config.yaml (a checkpoint dir has no HF config.json) and the
+    saved encoder/projector yamls re-merge, so the structure matches the
+    trained weights exactly."""
+    import dataclasses
+
+    import yaml
+
+    from llm_bci_tpu.models.bci import BCI
+    from llm_bci_tpu.models.llama import LlamaConfig
+
+    cfg = bci_config(tmp_path)
+    model = BCI.from_config(cfg["model"], **cfg["method"]["model_kwargs"])
+    ckpt = str(tmp_path / "STEP1")
+    os.makedirs(ckpt, exist_ok=True)
+    model.save_config(ckpt)
+
+    # reload with NO debug/llm_path kwargs, only lora (as the saved
+    # trainer_config would supply) — must not try pt_path/config.json
+    reloaded = BCI.from_config(
+        DictConfig({"from_pt": ckpt}),
+        method_name="endtoend",
+        lora=cfg["method"]["model_kwargs"]["lora"],
+        freeze_llm=False,
+    )
+    assert dataclasses.asdict(reloaded.llama_config) == dataclasses.asdict(
+        model.llama_config
+    )
+    assert reloaded.lora_r == 2 and reloaded.lora_targets == ("q_proj", "v_proj")
+    # saved component configs re-merged (trained encoder is 2-layer, not
+    # the 5-layer configs/ndt1.yaml default)
+    enc = reloaded.config["ndt1"]["encoder"]
+    assert enc["transformer"]["n_layers"] == 2
+    assert reloaded.config["projector"]["inter_size"] == 24
+    assert enc["from_pt"] == ckpt
