@@ -64,10 +64,15 @@ def main(args):
     def wer(model, model_inputs, unused_inputs, outputs, **kw):
         import jax.numpy as jnp
 
-        # Strip the target sentence: keep prompt tokens (targets == -100).
+        # Strip the target sentence AND the pad (unk) tokens: the reference
+        # keeps prompt positions with targets == -100 and input_ids !=
+        # unk_token_id (eval_phonemes.py:45) — right-pad tokens also carry
+        # -100 targets, and leaving them in would let generation attend
+        # a tail of unk tokens the reference never sees.
         input_ids = np.asarray(model_inputs["input_ids"])
         targets = np.asarray(model_inputs["targets"])
-        keep = targets[0] == -100
+        unk_id = tokenizer.unk_token_id or 0
+        keep = (targets[0] == -100) & (input_ids[0] != unk_id)
         prompt_ids = input_ids[:, keep]
         gen_inputs = {
             k: jnp.asarray(np.asarray(v))
