@@ -177,10 +177,17 @@ class BCI(nn.Module):
     def setup(self):
         cfg = self.config
         # The trunk keeps the exact reference splice semantics: tile-pad
-        # frames (stack.pad_to_multiple, NeuralEncoder's default is already
-        # 1 = off) would occupy prompt positions and shift every later
-        # token's position in the LLM — leave it off for BCI.
+        # frames (stack.pad_to_multiple) would occupy prompt positions and
+        # shift every later token's position in the LLM — FORCE it off for
+        # BCI, even if the config carries it (e.g. a from_pt reload
+        # re-merging an NDT1 pretrain's saved encoder config, or a copied
+        # flagship recipe).
         enc_cfg = dict(cfg["ndt1"]["encoder"])
+        stack = enc_cfg.get("embedder", {}).get("stack", {})
+        if stack.get("pad_to_multiple", 1) not in (None, 1):
+            emb = dict(enc_cfg["embedder"])
+            emb["stack"] = {**stack, "pad_to_multiple": 1}
+            enc_cfg["embedder"] = emb
         self.encoder = NeuralEncoder(config=enc_cfg, name="ndt1_encoder")
         self.llm = LlamaForCausalLM(
             self.llama_config,

@@ -119,7 +119,7 @@ class LoRADense(nn.Module):
     ):
         in_features = x.shape[-1]
         frozen = self.r > 0 or self.freeze_base
-        if self.quant == "int8":
+        if self.quant in ("int8", "int8_xla"):
             if not frozen:
                 raise ValueError(
                     "quant='int8' requires a frozen base (LoRA or freeze)"
@@ -133,11 +133,14 @@ class LoRADense(nn.Module):
                 (self.features,),
                 jnp.float32,
             )
+            # "int8_xla" = same storage, partitionable matmul (multi-device
+            # meshes; the Trainer rewrites the mode when mesh.size > 1).
             y = int8_matmul(
                 x,
                 kernel_q,
                 jax.lax.stop_gradient(kernel_scale),
                 out_dtype=self.dtype,
+                impl="xla" if self.quant == "int8_xla" else "auto",
             )
         elif self.quant is not None:
             raise ValueError(f"unknown quant mode {self.quant!r}")
@@ -559,7 +562,7 @@ def quantize_llama_params(
     ``LoRADense(quant="int8")`` expects. Norms, embeddings, biases and LoRA
     factors pass through untouched. Host-side (numpy); used at HF-import /
     warm-start time."""
-    if mode != "int8":
+    if mode not in ("int8", "int8_xla"):  # identical storage layout
         raise ValueError(f"unknown quant mode {mode!r}")
 
     def walk(node: Dict, name: str) -> Dict:

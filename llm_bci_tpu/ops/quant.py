@@ -40,22 +40,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _INTERPRET = False
-_FORCE_XLA = False
 
 
 def set_interpret_mode(value: bool) -> None:
     global _INTERPRET
     _INTERPRET = value
-
-
-def set_force_xla(value: bool) -> None:
-    """Route all int8 matmuls to the XLA convert+dot path. Set by the
-    trainer under tensor parallelism: ``pallas_call`` is a custom call the
-    SPMD partitioner can't split, so a tp-sharded int8 kernel would be
-    all-gathered per layer; the XLA path partitions normally (and keeps
-    the int8 HBM-residency win)."""
-    global _FORCE_XLA
-    _FORCE_XLA = value
 
 
 # ---------------------------------------------------------------------------
@@ -204,14 +193,14 @@ def _fit_block(dim: int, block: int) -> int:
 
 
 def _pallas_viable(M: int, K: int, N: int, bm: int, bn: int, bk: int) -> bool:
-    if _FORCE_XLA:
-        return False
     if jax.default_backend() != "tpu" and not _INTERPRET:
         return False
     return M % bm == 0 and K % bk == 0 and N % bn == 0
 
 
 def _int8_matmul_impl(x, q, scale, out_dtype, blocks):
+    if blocks is None:  # impl="xla": partitionable path, no Pallas dispatch
+        return _int8_matmul_xla(x, q, scale, out_dtype)
     bm, bn, bk = blocks
     M = x.shape[0]
     if _pallas_viable(M, x.shape[1], q.shape[1], bm, bn, bk):
@@ -256,6 +245,7 @@ def int8_matmul(
     block_m: int = 256,
     block_n: int = 512,
     block_k: int = 256,
+    impl: str = "auto",
 ) -> jax.Array:
     """``(x @ dequant(q, scale))`` with int8 weights streamed from HBM.
 
@@ -263,9 +253,21 @@ def int8_matmul(
     (M % 16 after M-padding; K and N divisible by SOME block in
     {block, 256, 128}) run the Pallas kernel; everything else falls back
     to the exact-same-math XLA path.
+
+    ``impl="xla"`` skips the Pallas kernel entirely: ``pallas_call`` is a
+    custom call the SPMD partitioner can't split, so any computation whose
+    operands are sharded over a multi-device mesh (tp/fsdp kernels,
+    data-sharded activations) must take the XLA convert+dot path, which
+    partitions normally and keeps the int8 HBM-residency win. The Trainer
+    selects it per model via ``quantize: int8_xla`` (set automatically
+    when ``mesh.size > 1``).
     """
     # dtype as its NAME: custom_vjp nondiff args must be plain hashables.
     out_dtype = np.dtype(out_dtype or x.dtype).name
+    if impl == "xla":
+        return _int8_matmul(
+            x.reshape(-1, x.shape[-1]), q, scale, out_dtype, None
+        ).reshape(*x.shape[:-1], q.shape[1])
     lead = x.shape[:-1]
     K = x.shape[-1]
     N = q.shape[1]

@@ -226,6 +226,15 @@ class Trainer:
             kwargs.setdefault(
                 "compute_dtype", self.config.get("precision", {}).get("compute_dtype")
             )
+            # Multi-device meshes can't run the Pallas int8 dequant-matmul:
+            # pallas_call is a custom call the SPMD partitioner can't split,
+            # so sharded operands (tp/fsdp kernels, data-sharded
+            # activations) would be all-gathered per layer or fail to
+            # compile. int8_xla keeps the identical int8 storage layout but
+            # takes the partitionable XLA convert+dot. Scoped to THIS
+            # model — single-chip serving/eval keeps the Pallas kernel.
+            if kwargs.get("quantize") == "int8" and self.mesh.size > 1:
+                kwargs["quantize"] = "int8_xla"
             if hasattr(model_class, "from_config"):
                 self.model = model_class.from_config(self.config.model, **kwargs)
             else:
@@ -347,14 +356,6 @@ class Trainer:
             from llm_bci_tpu.parallel.mesh import tp_llama_rules
 
             rules = tp_llama_rules(self.mesh)
-            # The Pallas int8 dequant-matmul is a custom call GSPMD cannot
-            # partition: under tp>1 it would force an all-gather of each
-            # tp-sharded int8 kernel, negating TP. The XLA convert+dot path
-            # partitions normally and keeps int8 HBM *residency* (the
-            # streamed-bytes win is the single-chip serving case anyway).
-            from llm_bci_tpu.ops import quant
-
-            quant.set_force_xla(True)
         self.param_shardings = shard_pytree(
             params_shape, self.mesh, rules=rules, min_size=min_size
         )
@@ -396,12 +397,19 @@ class Trainer:
         # a plain device_get/device_put raises — all-gather to a replicated
         # layout first, and re-place shards via make_array_from_callback.
         if hasattr(self.model, "warm_start_params"):
-            gathered = params
             if jax.process_count() > 1:
-                gathered = jax.jit(
-                    lambda p: p, out_shardings=replicated(self.mesh)
-                )(params)
-            host = jax.device_get(gathered)
+                # Leaf-by-leaf: gathering the WHOLE tree at once would
+                # materialize a fully replicated copy of the model on every
+                # device alongside the sharded one — guaranteed OOM in
+                # exactly the fsdp-required regime. Per-leaf, the replicated
+                # copy frees as soon as it lands on the host; jit caches by
+                # shape so compiles stay bounded.
+                gather = jax.jit(lambda x: x, out_shardings=replicated(self.mesh))
+                host = jax.tree_util.tree_map(
+                    lambda p: jax.device_get(gather(p)), params
+                )
+            else:
+                host = jax.device_get(params)
             warm = self.model.warm_start_params(host)
             if warm is not host:  # identity return == nothing to load
                 warm = jax.tree_util.tree_map(
@@ -1050,7 +1058,12 @@ class Trainer:
                     drain(pending)
                     pending = []
                     for j, (_db, mi, ui) in enumerate(group):
-                        outputs_j = {k2: v[j] for k2, v in outs.items()}
+                        # None output fields (e.g. CTC/BCI leave mask unset)
+                        # pass through lax.scan unstacked.
+                        outputs_j = {
+                            k2: (v[j] if v is not None else None)
+                            for k2, v in outs.items()
+                        }
                         pending.append(
                             (
                                 global_step + j,

@@ -158,6 +158,13 @@ def test_bci_trainer_int8_quant(tmp_path):
     cfg["method"]["model_kwargs"]["quantize"] = "int8"
     trainer = Trainer(cfg, dataset=synth_bci_dataset())
 
+    # the multi-device test mesh rewrites the mode to the
+    # GSPMD-partitionable impl (identical int8 storage layout)
+    import jax as _jax
+
+    if len(_jax.devices()) > 1:
+        assert trainer.model.quant == "int8_xla"
+
     # the base kernels really are int8 + scales; LoRA factors stay float
     flat = jax.tree_util.tree_flatten_with_path(trainer.state.params)[0]
     kinds = {"int8_kernels": 0, "scales": 0, "lora": 0}
@@ -317,12 +324,21 @@ def test_fit_block_7b_shapes():
     assert not quant._pallas_viable(16, 100, 100, 16, 512, 512)
 
 
-def test_force_xla_disables_pallas():
-    quant.set_interpret_mode(True)
-    try:
-        assert quant._pallas_viable(16, 256, 256, 16, 128, 128)
-        quant.set_force_xla(True)
-        assert not quant._pallas_viable(16, 256, 256, 16, 128, 128)
-    finally:
-        quant.set_force_xla(False)
-        quant.set_interpret_mode(False)
+def test_impl_xla_matches_auto():
+    """impl='xla' (the GSPMD-partitionable mode multi-device Trainers
+    select via quantize=int8_xla) computes the same values as the auto
+    dispatch and never enters the Pallas path."""
+    rng = np.random.default_rng(5)
+    w = rng.normal(0, 0.05, size=(256, 256)).astype(np.float32)
+    x = rng.normal(size=(8, 256)).astype(np.float32)
+    q, s = quant.quantize_int8(w)
+    args = (jnp.asarray(x), jnp.asarray(q), jnp.asarray(s))
+    y_auto = quant.int8_matmul(*args)
+    y_xla = quant.int8_matmul(*args, impl="xla")
+    np.testing.assert_allclose(np.asarray(y_xla), np.asarray(y_auto), rtol=1e-6)
+    # grads flow identically through the custom VJP on both routes
+    g_auto = jax.grad(lambda xx: quant.int8_matmul(xx, *args[1:]).sum())(args[0])
+    g_xla = jax.grad(
+        lambda xx: quant.int8_matmul(xx, *args[1:], impl="xla").sum()
+    )(args[0])
+    np.testing.assert_allclose(np.asarray(g_xla), np.asarray(g_auto), rtol=1e-6)

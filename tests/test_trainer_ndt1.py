@@ -462,3 +462,43 @@ def test_chain_steps_matches_single_step_training(tmp_path):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
         )
+
+
+def test_chain_steps_ctc_with_none_output_fields(tmp_path):
+    """chain_steps must handle output dicts with None fields: the CTC (and
+    BCI) outputs leave e.g. mask unset, and lax.scan passes None leaves
+    through unstacked — the per-step unstack must not index them."""
+    from llm_bci_tpu.training import Trainer
+
+    cfg = base_config(tmp_path)
+    cfg["data"]["dataset_class"] = "decoding"
+    cfg["method"]["model_kwargs"] = {
+        "method_name": "ctc", "vocab_size": 7, "blank_id": 0, "zero_infinity": True,
+    }
+    cfg["model"]["encoder"]["masker"]["neuron"]["active"] = False
+    cfg["model"]["encoder"]["embedder"]["stack"] = {"active": True, "size": 4, "stride": 2}
+    cfg["method"]["dataset_kwargs"] = {"targets_name": "targets"}
+    cfg["method"]["dataloader_kwargs"]["pad_dict"].update(
+        {
+            "targets": {"dim": 0, "side": "right", "value": 0, "truncate": None, "min_length": None},
+            "targets_mask": {"dim": 0, "side": "right", "value": 0, "truncate": None, "min_length": None},
+        }
+    )
+    for spec in cfg["method"]["dataloader_kwargs"]["pad_dict"].values():
+        spec["side"] = "right"
+    cfg["training"]["num_epochs"] = 2
+    cfg["training"]["max_steps"] = 4
+    cfg["training"]["chain_steps"] = 2
+    seen = []
+
+    def rate(model, mi, ui, outputs, **kw):
+        assert outputs.get("mask") is None       # the None field survives
+        seen.append(float(np.asarray(outputs["loss"])))
+        return seen[-1]
+
+    trainer = Trainer(
+        cfg, dataset=synth_dataset(with_targets=True), metric_fns={"rate": rate}
+    )
+    trainer.train()
+    assert int(np.asarray(trainer.state.step)) == 4
+    assert len(seen) >= 4 and np.isfinite(seen).all()
