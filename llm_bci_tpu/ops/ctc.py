@@ -53,11 +53,35 @@ def ctc_loss(
     """
     if impl == "pallas" or (impl == "auto" and jax.default_backend() == "tpu"):
         from llm_bci_tpu.ops.ctc_pallas import ctc_loss_pallas
+        from llm_bci_tpu.ops.spmd import batch_shardable, op_mesh
 
-        return ctc_loss_pallas(
-            log_probs, targets, input_lengths, target_lengths,
-            blank_id, zero_infinity,
-        )
+        mesh = op_mesh()
+        if mesh is None:
+            return ctc_loss_pallas(
+                log_probs, targets, input_lengths, target_lengths,
+                blank_id, zero_infinity,
+            )
+        if batch_shardable(log_probs.shape[0]):
+            # Multi-device mesh: pallas_call is a custom call GSPMD can't
+            # partition — run the kernel per data-shard via shard_map
+            # (batch-parallel: one alpha lattice per example).
+            from jax.sharding import PartitionSpec as P
+
+            return jax.shard_map(
+                lambda lp, t, il, tl: ctc_loss_pallas(
+                    lp, t, il, tl, blank_id, zero_infinity
+                ),
+                mesh=mesh,
+                in_specs=(
+                    P("data", None, None), P("data", None),
+                    P("data"), P("data"),
+                ),
+                out_specs=P("data"),
+                # pallas_call's out_shape carries no varying-mesh-axes
+                # annotation, which the vma checker requires
+                check_vma=False,
+            )(log_probs, targets, input_lengths, target_lengths)
+        # odd batch: fall through to the XLA scan, which partitions natively
 
     B, T, V = log_probs.shape
     S = targets.shape[1]

@@ -508,7 +508,83 @@ def banded_flash_attention(
     (fwd+bwd, B=64 H=8 D=128: 21.7 ms vs 36.3 ms at block 128 and
     ~39 ms for XLA SDPA at T=1024); the clamp below keeps small-T shapes
     legal. Callers can override for VMEM-constrained configs.
+
+    On a multi-device mesh (``ops.spmd.set_op_mesh``, assigned by the
+    Trainer) the kernel runs under ``jax.shard_map`` over the ``data``
+    axis — ``pallas_call`` is a custom call GSPMD can't partition, so the
+    unwrapped kernel would force per-call all-gathers of the sharded
+    activations. Each shard folds its ``data`` index into the dropout rng
+    so keep-masks stay independent across shards.
     """
+    from llm_bci_tpu.ops.spmd import op_mesh
+
+    mesh = op_mesh()
+    if mesh is not None:
+        B = q.shape[0]
+        n = mesh.shape["data"]
+        if B % n != 0:
+            raise ValueError(
+                f"banded_flash_attention on a multi-device mesh needs the "
+                f"batch ({B}) divisible by the data axis ({n}); route this "
+                "call to the XLA attention path instead"
+            )
+        from jax.sharding import PartitionSpec as P
+
+        kwargs = dict(
+            context_forward=context_forward,
+            context_backward=context_backward,
+            block_q=block_q,
+            block_k=block_k,
+            dropout_rate=dropout_rate,
+        )
+        has_kv = key_valid is not None
+        has_rng = dropout_rng is not None and float(dropout_rate) > 0.0
+        spec4 = P("data", None, None, None)
+        args, specs = [q, k, v], [spec4, spec4, spec4]
+        if has_kv:
+            args.append(key_valid)
+            specs.append(P("data", None))
+        if has_rng:
+            args.append(dropout_rng)
+            specs.append(P())
+
+        def body(qs, ks, vs, *rest):
+            it = iter(rest)
+            kv = next(it) if has_kv else None
+            rng = next(it) if has_rng else None
+            if rng is not None:
+                # independent keep-masks per shard: the kernel's counters
+                # restart from the local batch index on every device
+                rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+            return _banded_flash_attention_local(
+                qs, ks, vs, kv, dropout_rng=rng, **kwargs
+            )
+
+        # check_vma=False: pallas_call's out_shape carries no varying-
+        # mesh-axes annotation, which the vma checker requires.
+        return jax.shard_map(
+            body, mesh=mesh, in_specs=tuple(specs), out_specs=spec4,
+            check_vma=False,
+        )(*args)
+
+    return _banded_flash_attention_local(
+        q, k, v, key_valid, context_forward, context_backward,
+        block_q, block_k, dropout_rate, dropout_rng,
+    )
+
+
+def _banded_flash_attention_local(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_valid: Optional[jax.Array] = None,
+    context_forward: Optional[int] = None,
+    context_backward: Optional[int] = None,
+    block_q: int = 512,
+    block_k: int = 512,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+) -> jax.Array:
     B, T, H, D = q.shape
     fwd_w, bwd_w = _band_bounds(context_forward, context_backward, T)
     scale = 1.0 / float(np.sqrt(D))

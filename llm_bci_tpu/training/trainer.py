@@ -155,6 +155,13 @@ class Trainer:
             int(par.get("fsdp", 1)),
             int(par.get("tp", 1)),
         )
+        # Batch-parallel Pallas kernels (flash attention, CTC) shard_map
+        # over this mesh — unwrapped pallas_calls are custom calls GSPMD
+        # can't partition. Assigned every construction (1-device meshes
+        # clear it), so later single-chip trainers/models run unwrapped.
+        from llm_bci_tpu.ops.spmd import set_op_mesh
+
+        set_op_mesh(self.mesh)
         self.is_main_process = jax.process_index() == 0
 
         self.print_v(

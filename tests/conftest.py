@@ -23,3 +23,16 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _reset_op_mesh():
+    """Trainer construction assigns the process-global op mesh for the
+    batch-parallel Pallas wrappers (ops/spmd.py); reset it between tests so
+    kernel tests after a trainer test run unwrapped."""
+    yield
+    from llm_bci_tpu.ops import spmd
+
+    spmd.set_op_mesh(None)
