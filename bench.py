@@ -601,7 +601,7 @@ def _bci_model_and_batch(quant=None, llm="bench"):
     return model, batch, Bb
 
 
-def bench_bci(chain: int = 1) -> dict:
+def bench_bci(chain: int = 1, quant=None) -> dict:
     """BCI end-to-end training step throughput (the reference's headline
     workload); returns the metrics for the driver-recorded JSON.
 
@@ -614,7 +614,7 @@ def bench_bci(chain: int = 1) -> dict:
     import optax
 
     _set_rng_impl()
-    model, batch, Bb = _bci_model_and_batch()
+    model, batch, Bb = _bci_model_and_batch(quant=quant)
     params = jax.jit(
         lambda r: model.init(r, **batch, training=False)["params"]
     )(jax.random.PRNGKey(0))
@@ -636,7 +636,9 @@ def bench_bci(chain: int = 1) -> dict:
                 rngs={"dropout": k1, "noise": k2, "mask": k3},
             ).loss
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        # allow_int: int8-quantized frozen bases get float0 grads the
+        # masked update below ignores (same as the Trainer).
+        loss, grads = jax.value_and_grad(loss_fn, allow_int=True)(params)
         updates, opt_state2 = tx.update(grads, opt_state, params)
         # Frozen leaves pass through untouched (donated buffers alias);
         # apply_updates' p+0 would rewrite the frozen LLM every step.
@@ -722,7 +724,11 @@ def main_bci():
     chain = 1
     if "--chain" in sys.argv:
         chain = int(sys.argv[sys.argv.index("--chain") + 1])
-    out = bench_bci(chain=chain)
+    # --int8: the frozen base int8 weight-only — the fine-tune step is
+    # also weight-streaming-bound at B=8, so halving weight bytes is a
+    # candidate training lever too (A/B against the bf16 number).
+    quant = "int8" if "--int8" in sys.argv else None
+    out = bench_bci(chain=chain, quant=quant)
     print(
         json.dumps(
             {
