@@ -486,16 +486,37 @@ def main():
     samples_per_sec = B * ITERS / dt
     mfu = (step_flops * ITERS / dt) / _peak_flops()
 
-    trainer_sps, trainer_cer_sps = bench_trainer_path()
-    mlm_sps = bench_mlm()
-    selftest = kernel_selftest()
-    bci = bench_bci()
-    gen = bench_generate(greedy_only=True)
-    gen_int8 = bench_generate(greedy_only=True, quant="int8")
-    gen["int8_greedy_tokens_per_sec"] = gen_int8["greedy_tokens_per_sec"]
-    gen["int8_vs_bf16"] = round(
-        gen_int8["greedy_tokens_per_sec"] / gen["greedy_tokens_per_sec"], 3
-    )
+    # The sub-benches are additional coverage, not the headline: a failure
+    # in any one of them must degrade to an error marker in the JSON
+    # (0.0 for numeric fields — NaN is not valid JSON) rather than kill
+    # the whole bench with no output line at all.
+    def _guard(fn, fallback):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — report, don't die
+            import traceback
+
+            traceback.print_exc()
+            msg = f"error: {type(e).__name__}: {e}"[:200]
+            return {k: msg for k in fallback} if isinstance(fallback, tuple) else msg
+
+    _tp = _guard(bench_trainer_path, None)
+    trainer_sps, trainer_cer_sps = (0.0, 0.0) if isinstance(_tp, str) else _tp
+    _mlm = _guard(bench_mlm, None)
+    mlm_sps = 0.0 if isinstance(_mlm, str) else _mlm
+    selftest = _guard(kernel_selftest, "failed")
+    bci = _guard(bench_bci, ("bci_lora_samples_per_sec", "bci_mfu"))
+
+    def _gen_both():
+        g = bench_generate(greedy_only=True)
+        g8 = bench_generate(greedy_only=True, quant="int8")
+        g["int8_greedy_tokens_per_sec"] = g8["greedy_tokens_per_sec"]
+        g["int8_vs_bf16"] = round(
+            g8["greedy_tokens_per_sec"] / g["greedy_tokens_per_sec"], 3
+        )
+        return g
+
+    gen = _guard(_gen_both, ("greedy_tokens_per_sec",))
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
     vs, mlm_vs = 1.0, 1.0

@@ -622,16 +622,22 @@ class NeuralEncoder(nn.Module):
             init_range=fac["init_range"],
         )
 
-    def _use_flash_now(self, T: int) -> bool:
+    def _use_flash_now(self, T: int, B: Optional[int] = None) -> bool:
         """Per-trace flash decision: T is static under jit, so "auto" costs
         nothing at runtime. The Pallas kernel needs a TPU backend (or the
-        test-only interpreter mode)."""
+        test-only interpreter mode). On a multi-device op mesh the kernel
+        runs under ``shard_map`` over the ``data`` axis, which needs the
+        (static) batch divisible by it — ragged eval tail batches fall back
+        to the XLA path, like the CTC loss does."""
         if not self.flash_possible:
             return False
         from llm_bci_tpu.ops import flash_attention as fa
+        from llm_bci_tpu.ops.spmd import batch_shardable
 
         backend_ok = jax.default_backend() == "tpu" or fa._INTERPRET
         if not backend_ok:
+            return False
+        if B is not None and not batch_shardable(B):
             return False
         if self.flash_mode == "on":
             return True
@@ -677,7 +683,7 @@ class NeuralEncoder(nn.Module):
         )
         Tn = x.shape[1]
 
-        if self._use_flash_now(Tn):
+        if self._use_flash_now(Tn, x.shape[0]):
             # Flash path: the band + padding mask is evaluated inside the
             # Pallas kernel — no (B, T, T) mask tensor is ever materialized.
             attn_mask = None

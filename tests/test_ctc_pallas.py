@@ -9,7 +9,14 @@ import jax.numpy as jnp
 from llm_bci_tpu.ops import ctc_pallas
 from llm_bci_tpu.ops.ctc import ctc_loss
 
-ctc_pallas.set_interpret_mode(True)
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    # per-test (not import-time): other modules' fixtures reset the flag,
+    # so relying on import order makes the file order-dependent
+    ctc_pallas.set_interpret_mode(True)
+    yield
+    ctc_pallas.set_interpret_mode(False)
 
 
 def make_case(B=4, T=14, V=7, S=5, seed=0, full_lengths=False):

@@ -7,7 +7,14 @@ import pytest
 
 from llm_bci_tpu.ops import flash_attention as fa
 
-fa.set_interpret_mode(True)
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    # per-test (not import-time): other modules' fixtures reset the flag,
+    # so relying on import order makes the file order-dependent
+    fa.set_interpret_mode(True)
+    yield
+    fa.set_interpret_mode(False)
 
 
 def dense_reference(q, k, v, key_valid, fwd, bwd):

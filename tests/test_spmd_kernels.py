@@ -132,6 +132,58 @@ def test_ctc_shard_map_odd_batch_falls_back_to_xla(mesh8):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
 
 
+def test_ndt1_flash_ragged_batch_falls_back_to_xla(mesh8):
+    """A ragged eval tail batch (B not divisible by the data axis) on a
+    multi-device mesh must route NDT1 attention to the XLA path instead of
+    tripping the flash shard_map divisibility error."""
+    from llm_bci_tpu.config import update_config
+    from llm_bci_tpu.models.ndt1 import NDT1
+
+    cfg = update_config(
+        "configs/ndt1.yaml",
+        {
+            "encoder": {
+                "masker": {"neuron": {"active": True, "mode": "random", "ratio": 0.2}},
+                "context": {"forward": -2, "backward": -2},
+                "smooth_and_noise": {
+                    "smooth_sd": None, "white_noise_sd": None,
+                    "constant_offset_sd": None, "noise": False,
+                },
+                "embedder": {
+                    "n_channels": 6, "max_F": 40, "input_dim": 8,
+                    "stack": {"active": False}, "dropout": 0.0,
+                },
+                "transformer": {
+                    "n_layers": 1, "hidden_size": 8, "n_heads": 2,
+                    "inter_size": 8, "dropout": 0.0,
+                    "flash_attention": True,   # force-on, not auto
+                },
+            }
+        },
+    )
+    model = NDT1.from_config(cfg, method_name="mlm", loss="poisson_nll", log_input=True)
+    B, T, N = 6, 8, 6                 # 6 % 4 != 0 on the (4, 2) mesh
+    rng = np.random.default_rng(0)
+    batch = {
+        "spikes": jnp.asarray(rng.poisson(1.0, (B, T, N)).astype(np.float32)),
+        "spikes_mask": jnp.ones((B, T), jnp.int32),
+        "spikes_timestamp": jnp.tile(jnp.arange(T), (B, 1)),
+        "spikes_lengths": jnp.full((B,), T, jnp.int32),
+    }
+    params = model.init(jax.random.PRNGKey(0), **batch, training=False)["params"]
+
+    spmd.set_op_mesh(mesh8)
+    out = model.apply({"params": params}, **batch, training=False)
+    assert np.isfinite(np.asarray(out.loss))
+
+    # and it equals the single-device (XLA-attention) result exactly
+    spmd.set_op_mesh(None)
+    ref = model.apply({"params": params}, **batch, training=False)
+    np.testing.assert_allclose(
+        np.asarray(out.loss), np.asarray(ref.loss), rtol=1e-6
+    )
+
+
 def test_trainer_assigns_op_mesh(tmp_path):
     """Trainer construction assigns the active mesh for the op wrappers."""
     from tests.test_trainer_ndt1 import base_config, synth_dataset
