@@ -67,6 +67,61 @@ def test_tp_shards_projection_kernels(tmp_path):
             assert "tp" not in str(sh.spec), name
 
 
+@pytest.mark.parametrize("quant", [None, "int8"])
+def test_tp_decode_matches_replicated(tmp_path, quant):
+    """Multi-chip serving: the jitted KV-cache decode (the WER-eval surface,
+    ``eval_phonemes.py`` → ``ModelHandle.generate``) must produce the same
+    tokens whether the LLM kernels are TP-sharded over the mesh or the same
+    parameter VALUES run replicated — GSPMD inserts the per-layer
+    collectives, the decode math is identical. The int8 case serves the
+    frozen base from int8 codes + per-channel scales sharded by
+    ``tp_llama_rules`` (the Trainer rewrites int8 → int8_xla, the
+    partitionable matmul, on multi-device meshes)."""
+    import jax.numpy as jnp
+
+    from llm_bci_tpu.parallel.mesh import replicated
+    from llm_bci_tpu.training import Trainer
+
+    cfg = bci_config(tmp_path / f"tpdec{quant or 'bf16'}")
+    cfg["parallelism"] = {"data": 2, "fsdp": 2, "tp": 2}
+    if quant:
+        cfg["method"]["model_kwargs"]["quantize"] = quant
+    trainer = Trainer(cfg, dataset=synth_bci_dataset())
+    trainer.train()
+
+    batch, _ = next(iter(trainer.test_dataloader))
+    gen_inputs = {
+        k: jnp.asarray(v)
+        for k, v in batch.items()
+        if k in (
+            "input_ids", "attention_mask", "input_split", "spikes",
+            "spikes_mask", "spikes_timestamp", "spikes_lengths",
+            "block_idx", "day_idx",
+        )
+    }
+    beam_kw = dict(max_new_tokens=5, num_beams=3, num_return_sequences=3)
+    toks_tp = trainer.model_handle.generate(**gen_inputs, max_new_tokens=5)
+    beam_tp = trainer.model_handle.generate(**gen_inputs, **beam_kw)
+
+    # identical values, replicated placement
+    host_params = jax.device_get(trainer.state.params)
+    repl = jax.device_put(host_params, replicated(trainer.mesh))
+    toks_rep = trainer.model.apply(
+        {"params": repl}, **gen_inputs, max_new_tokens=5, method="generate"
+    )
+    beam_rep = trainer.model.apply(
+        {"params": repl}, **gen_inputs, **beam_kw, method="generate"
+    )
+    np.testing.assert_array_equal(np.asarray(toks_tp), np.asarray(toks_rep))
+    # Beam TOKENS can legally flip on near-tied hypotheses (the sharded
+    # matmuls reduce in a different order); the hypothesis SCORES are the
+    # numeric surface to compare.
+    np.testing.assert_allclose(
+        np.asarray(beam_tp.scores), np.asarray(beam_rep.scores),
+        rtol=2e-4, atol=1e-5,
+    )
+
+
 def test_mesh_tp_defaults_backward_compatible():
     """tp defaults to 1 and the -1 fill accounts for it."""
     from llm_bci_tpu.parallel import make_mesh
