@@ -328,6 +328,13 @@ def bench_trainer_path(steps: int = 30):
     trainer.train()
     sync()
     with_cer = steps * B / (time.perf_counter() - t0)
+
+    # The Trainer assigned the process-global op mesh; on a multi-device
+    # host, leaving it set would silently reroute every later sub-bench's
+    # flash/CTC call through shard_map (ops/spmd.py docstring).
+    from llm_bci_tpu.ops.spmd import set_op_mesh
+
+    set_op_mesh(None)
     return metric_free, with_cer
 
 
@@ -487,9 +494,10 @@ def main():
     mfu = (step_flops * ITERS / dt) / _peak_flops()
 
     # The sub-benches are additional coverage, not the headline: a failure
-    # in any one of them must degrade to an error marker in the JSON
-    # (0.0 for numeric fields — NaN is not valid JSON) rather than kill
-    # the whole bench with no output line at all.
+    # in any one of them must degrade rather than kill the whole bench with
+    # no output line at all. Dict-shaped benches degrade to "error: ..."
+    # strings under their usual keys; the trainer/mlm scalars (whose derived
+    # ratios need numbers — NaN is not valid JSON) degrade to 0.0.
     def _guard(fn, fallback):
         try:
             return fn()
@@ -507,16 +515,19 @@ def main():
     selftest = _guard(kernel_selftest, "failed")
     bci = _guard(bench_bci, ("bci_lora_samples_per_sec", "bci_mfu"))
 
-    def _gen_both():
-        g = bench_generate(greedy_only=True)
-        g8 = bench_generate(greedy_only=True, quant="int8")
-        g["int8_greedy_tokens_per_sec"] = g8["greedy_tokens_per_sec"]
-        g["int8_vs_bf16"] = round(
-            g8["greedy_tokens_per_sec"] / g["greedy_tokens_per_sec"], 3
-        )
-        return g
-
-    gen = _guard(_gen_both, ("greedy_tokens_per_sec",))
+    # guard the bf16 and int8 decode legs separately: an int8-only failure
+    # must not discard the already-measured bf16 number
+    gen = _guard(
+        lambda: bench_generate(greedy_only=True), ("greedy_tokens_per_sec",)
+    )
+    gen8 = _guard(
+        lambda: bench_generate(greedy_only=True, quant="int8"),
+        ("greedy_tokens_per_sec",),
+    )
+    gen["int8_greedy_tokens_per_sec"] = gen8["greedy_tokens_per_sec"]
+    bf16_tps, int8_tps = gen.get("greedy_tokens_per_sec"), gen8["greedy_tokens_per_sec"]
+    if isinstance(bf16_tps, (int, float)) and isinstance(int8_tps, (int, float)):
+        gen["int8_vs_bf16"] = round(int8_tps / bf16_tps, 3)
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
     vs, mlm_vs = 1.0, 1.0

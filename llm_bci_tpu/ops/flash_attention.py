@@ -516,17 +516,17 @@ def banded_flash_attention(
     activations. Each shard folds its ``data`` index into the dropout rng
     so keep-masks stay independent across shards.
     """
-    from llm_bci_tpu.ops.spmd import op_mesh
+    from llm_bci_tpu.ops.spmd import batch_shardable, op_mesh
 
     mesh = op_mesh()
     if mesh is not None:
         B = q.shape[0]
-        n = mesh.shape["data"]
-        if B % n != 0:
+        if not batch_shardable(B):
             raise ValueError(
                 f"banded_flash_attention on a multi-device mesh needs the "
-                f"batch ({B}) divisible by the data axis ({n}); route this "
-                "call to the XLA attention path instead"
+                f"batch ({B}) divisible by the data axis "
+                f"({mesh.shape['data']}); route this call to the XLA "
+                "attention path instead"
             )
         from jax.sharding import PartitionSpec as P
 

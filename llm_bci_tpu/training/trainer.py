@@ -247,6 +247,11 @@ class Trainer:
             else:
                 self.model = model_class(self.config.model, **kwargs)
         else:
+            # Caller-supplied models need the same int8 -> int8_xla rewrite
+            # as the config-built path (see comment above); flax modules are
+            # frozen dataclasses, so swap the field via clone().
+            if getattr(model, "quant", None) == "int8" and self.mesh.size > 1:
+                model = model.clone(quant="int8_xla")
             self.model = model
 
     def get_model_inputs(self) -> None:

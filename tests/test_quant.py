@@ -202,6 +202,25 @@ def test_bci_trainer_int8_quant(tmp_path):
     assert np.asarray(tokens).shape[-1] == 4
 
 
+def test_caller_supplied_int8_model_rewritten_on_mesh(tmp_path):
+    """Trainer(model=...) must get the same int8 -> int8_xla rewrite as the
+    config-built path: a caller-supplied int8 model on a multi-device mesh
+    would otherwise keep the Pallas dequant matmul GSPMD can't partition."""
+    from llm_bci_tpu.models.bci import BCI
+    from llm_bci_tpu.training import Trainer
+
+    cfg = bci_config(tmp_path)
+    cfg["method"]["model_kwargs"]["quantize"] = "int8"
+    model = BCI.from_config(cfg["model"], **cfg["method"]["model_kwargs"])
+    assert model.quant == "int8"
+
+    trainer = Trainer(cfg, model=model, dataset=synth_bci_dataset())
+    if len(jax.devices()) > 1:
+        assert trainer.model.quant == "int8_xla"
+    loss, _ = trainer.evaluate()
+    assert np.isfinite(loss)
+
+
 def test_adapt_quantization_both_directions():
     """Float kernels re-quantize into an int8+scale layout and int8+scale
     pairs dequantize into a float layout; unrelated leaves pass through."""
