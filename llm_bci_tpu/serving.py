@@ -1,0 +1,123 @@
+"""AOT serving export: serialize the compiled decode program with
+``jax.export``.
+
+Beyond-reference deployment surface (the reference serves by running the
+full torch + HF-``generate`` stack in-process, ``/root/reference/
+eval_phonemes.py:113-135``): the BCI decode program — spliced neural
+prompt → token ids, greedy or (diverse) beam — is lowered ONCE to
+StableHLO and serialized. A serving host then needs only:
+
+* the exported artifact (this module's ``load_decode``),
+* the weights (the component msgpack / Orbax checkpoint),
+* jax + the PJRT TPU plugin — no model-definition Python, no flax, no
+  framework version skew between trainer and server.
+
+Parameters stay ARGUMENTS of the exported program (not baked constants):
+the artifact is a few MB of MLIR regardless of model size, weights ship
+separately in whatever quantization layout they were trained/PTQ'd to
+(bf16 or int8 + scales — the exported program embeds the matching
+dequant math).
+
+Export is cross-platform: ``platforms=("tpu",)`` lowers for TPU from any
+host (the default also includes the host platform so tests can execute
+the artifact). ``jax.export`` guarantees backward compatibility for
+serialized artifacts across jax releases.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+from jax import export as jax_export
+
+
+def _struct_tree(tree: Any):
+    """ShapeDtypeStruct skeleton of a pytree of (device/num)py arrays."""
+    import numpy as np
+
+    def one(x):
+        x = np.asarray(x) if not isinstance(x, jax.Array) else x
+        return jax.ShapeDtypeStruct(x.shape, x.dtype)
+
+    return jax.tree_util.tree_map(one, tree)
+
+
+def export_decode(
+    model,
+    params: Dict[str, Any],
+    example_inputs: Dict[str, Any],
+    out_path: str,
+    *,
+    max_new_tokens: int,
+    num_beams: int = 1,
+    num_return_sequences: int = 1,
+    num_beam_groups: int = 1,
+    diversity_penalty: float = 0.0,
+    length_penalty: float = 1.0,
+    eos_token_id: int = 2,
+    pad_token_id: int = 0,
+    platforms: Optional[Sequence[str]] = None,
+) -> str:
+    """Lower ``model``'s generate method to StableHLO and serialize it.
+
+    ``example_inputs`` fixes the serving signature (batch size, padded
+    prompt/spike lengths — TPU serving is static-shape by design, matching
+    the frozen-pad dataloader); only shapes/dtypes are read, values are
+    ignored. Generation hyperparameters are baked into the artifact: one
+    artifact per serving configuration, the deployment-friendly choice
+    (the reference's HF ``GenerationConfig`` equivalent, pinned at export
+    time instead of load time).
+
+    ``platforms`` defaults to ``("tpu", <host>)`` so the artifact runs on
+    the serving TPU and remains executable host-side for smoke tests.
+    Returns ``out_path``.
+    """
+    if platforms is None:
+        host = jax.default_backend()
+        platforms = ("tpu",) if host == "tpu" else ("tpu", host)
+
+    gen_kwargs = dict(
+        max_new_tokens=max_new_tokens,
+        num_beams=num_beams,
+        num_return_sequences=num_return_sequences,
+        num_beam_groups=num_beam_groups,
+        diversity_penalty=diversity_penalty,
+        length_penalty=length_penalty,
+        eos_token_id=eos_token_id,
+        pad_token_id=pad_token_id,
+    )
+
+    def decode(params, inputs):
+        return model.apply(
+            {"params": params}, **inputs, method="generate", **gen_kwargs
+        )
+
+    exp = jax_export.export(jax.jit(decode), platforms=list(platforms))(
+        _struct_tree(params), _struct_tree(example_inputs)
+    )
+    blob = exp.serialize()
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    with open(out_path, "wb") as f:
+        f.write(blob)
+    return out_path
+
+
+def load_decode(path: str):
+    """Deserialize an exported decode artifact.
+
+    Returns ``fn(params, inputs) -> tokens`` (or a ``BeamResult``-shaped
+    tuple when the artifact was exported with
+    ``num_return_sequences > 1``). The callable runs under ``jax.jit``
+    semantics on whatever platform the artifact was exported for; no
+    model class or config is needed.
+    """
+    with open(path, "rb") as f:
+        exp = jax_export.deserialize(f.read())
+
+    def fn(params, inputs):
+        return exp.call(params, inputs)
+
+    fn.in_avals = exp.in_avals
+    fn.platforms = exp.platforms
+    return fn

@@ -1,0 +1,121 @@
+"""AOT serving export: the decode program serializes via jax.export and
+the deserialized artifact reproduces the in-process generate exactly
+(llm_bci_tpu/serving.py). Beyond-reference surface — upstream serves by
+running torch + HF generate in-process."""
+import jax
+import numpy as np
+import pytest
+
+from llm_bci_tpu.serving import export_decode, load_decode
+from tests.test_bci import bci_config, synth_bci_dataset
+
+GEN_KEYS = (
+    "input_ids", "attention_mask", "input_split", "spikes", "spikes_mask",
+    "spikes_timestamp", "spikes_lengths", "block_idx", "day_idx",
+)
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    from llm_bci_tpu.ops import spmd
+    from llm_bci_tpu.training import Trainer
+
+    tmp = tmp_path_factory.mktemp("serve")
+    trainer = Trainer(bci_config(tmp), dataset=synth_bci_dataset())
+    spmd.set_op_mesh(None)          # single-program serving export
+    batch, _ = next(iter(trainer.test_dataloader))
+    inputs = {k: np.asarray(v) for k, v in batch.items() if k in GEN_KEYS}
+    params = jax.device_get(trainer.state.params)
+    return trainer.model, params, inputs, tmp
+
+
+def test_export_greedy_roundtrip(served):
+    model, params, inputs, tmp = served
+    path = export_decode(
+        model, params, inputs, str(tmp / "greedy.jaxexport"),
+        max_new_tokens=4, platforms=("cpu",),
+    )
+    fn = load_decode(path)
+    toks = fn(params, inputs)
+    ref = model.apply(
+        {"params": params}, **inputs, method="generate", max_new_tokens=4
+    )
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref))
+
+
+def test_export_beam_roundtrip(served):
+    model, params, inputs, tmp = served
+    path = export_decode(
+        model, params, inputs, str(tmp / "beam.jaxexport"),
+        max_new_tokens=4, num_beams=3, platforms=("cpu",),
+    )
+    fn = load_decode(path)
+    toks = fn(params, inputs)
+    ref = model.apply(
+        {"params": params}, **inputs, method="generate",
+        max_new_tokens=4, num_beams=3,
+    )
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref))
+
+
+def test_export_lowers_for_tpu_from_cpu_host(served):
+    """Cross-platform: a ("tpu", "cpu") artifact serializes on the CPU dev
+    host, loads back, reports both platforms, and still executes on cpu."""
+    model, params, inputs, tmp = served
+    path = export_decode(
+        model, params, inputs, str(tmp / "xplat.jaxexport"),
+        max_new_tokens=4, platforms=("tpu", "cpu"),
+    )
+    fn = load_decode(path)
+    assert "tpu" in fn.platforms and "cpu" in fn.platforms
+    toks = fn(params, inputs)
+    ref = model.apply(
+        {"params": params}, **inputs, method="generate", max_new_tokens=4
+    )
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref))
+
+
+def test_export_int8_base_roundtrip(tmp_path):
+    """The int8-quantized frozen base exports too: the artifact embeds the
+    dequant math and takes the int8 codes + scales as arguments — the 7B
+    single-chip serving configuration."""
+    from llm_bci_tpu.ops import spmd
+    from llm_bci_tpu.training import Trainer
+
+    cfg = bci_config(tmp_path)
+    cfg["method"]["model_kwargs"]["quantize"] = "int8"
+    trainer = Trainer(cfg, dataset=synth_bci_dataset())
+    spmd.set_op_mesh(None)
+    batch, _ = next(iter(trainer.test_dataloader))
+    inputs = {k: np.asarray(v) for k, v in batch.items() if k in GEN_KEYS}
+    # export the single-chip layout (Pallas dispatch with XLA fallback),
+    # not the multi-device int8_xla rewrite the test mesh applied
+    model = trainer.model.clone(quant="int8")
+    params = jax.device_get(trainer.state.params)
+
+    path = export_decode(
+        model, params, inputs, str(tmp_path / "int8.jaxexport"),
+        max_new_tokens=4, platforms=("cpu",),
+    )
+    fn = load_decode(path)
+    toks = fn(params, inputs)
+    ref = model.apply(
+        {"params": params}, **inputs, method="generate", max_new_tokens=4
+    )
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref))
+
+
+def test_artifact_size_independent_of_values(served):
+    """Weights are program ARGUMENTS, not baked constants: the artifact is
+    MLIR of the program only (a few MB), so shipping new weights does not
+    re-export."""
+    import os
+
+    model, params, inputs, tmp = served
+    path = str(tmp / "size.jaxexport")
+    export_decode(model, params, inputs, path, max_new_tokens=4,
+                  platforms=("cpu",))
+    n_param_bytes = sum(
+        np.asarray(x).nbytes for x in jax.tree_util.tree_leaves(params)
+    )
+    assert os.path.getsize(path) < max(n_param_bytes // 2, 1 << 20)
