@@ -22,6 +22,12 @@ Export is cross-platform: ``platforms=("tpu",)`` lowers for TPU from any
 host (the default also includes the host platform so tests can execute
 the artifact). ``jax.export`` guarantees backward compatibility for
 serialized artifacts across jax releases.
+
+One caveat: the Pallas-vs-XLA kernel dispatch (int8 dequant matmul,
+banded flash) reads ``jax.default_backend()`` at TRACE time, so an
+artifact exported on a CPU host embeds the XLA fallback paths even for
+its ``tpu`` platform — numerically identical, but without the fused-
+kernel bandwidth wins. Export perf-critical TPU artifacts on a TPU host.
 """
 from __future__ import annotations
 
@@ -100,6 +106,56 @@ def export_decode(
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
     with open(out_path, "wb") as f:
         f.write(blob)
+    return out_path
+
+
+def export_forward(
+    model,
+    params: Dict[str, Any],
+    example_inputs: Dict[str, Any],
+    out_path: str,
+    *,
+    outputs: Sequence[str] = ("preds",),
+    const_inputs: Optional[Dict[str, Any]] = None,
+    platforms: Optional[Sequence[str]] = None,
+    **apply_kwargs,
+) -> str:
+    """Export a model's inference forward pass (``training=False``).
+
+    The real-time BCI case: an NDT1-CTC artifact maps a spike window to
+    per-frame phoneme log-probabilities on-device — the closed-loop
+    decode loop ships this plus a host-side CTC beam/lexicon stage, with
+    no flax/model code on the serving host. Works for any registered
+    model (iTransformer/PatchTST behavior decoders export the same way).
+
+    ``outputs`` selects ``ModelOutput`` fields; the artifact returns a
+    plain dict of arrays (no custom pytree types to register on the
+    serving host) and XLA dead-code-eliminates everything the selection
+    doesn't need — e.g. with ``outputs=("preds",)`` the CTC loss (and its
+    dummy targets) vanish from the compiled program. ``const_inputs``
+    are baked as constants to satisfy loss-path arguments the serving
+    signature shouldn't expose (dummy ``targets``/``targets_lengths``);
+    ``apply_kwargs`` bake likewise (e.g. ``masker_overrides``). Returns
+    ``out_path``.
+    """
+    if platforms is None:
+        host = jax.default_backend()
+        platforms = ("tpu",) if host == "tpu" else ("tpu", host)
+    const_inputs = const_inputs or {}
+
+    def forward(params, inputs):
+        out = model.apply(
+            {"params": params}, **inputs, **const_inputs,
+            training=False, **apply_kwargs,
+        )
+        return {k: getattr(out, k) for k in outputs}
+
+    exp = jax_export.export(jax.jit(forward), platforms=list(platforms))(
+        _struct_tree(params), _struct_tree(example_inputs)
+    )
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    with open(out_path, "wb") as f:
+        f.write(exp.serialize())
     return out_path
 
 

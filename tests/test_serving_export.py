@@ -105,6 +105,34 @@ def test_export_int8_base_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref))
 
 
+def test_export_ndt1_ctc_forward(tmp_path):
+    """Real-time BCI serving: the NDT1-CTC forward exports as a
+    spikes -> per-frame log-probs artifact. Dummy targets are baked
+    constants and the loss is dead-code-eliminated; the artifact's preds
+    match the in-process forward."""
+    from llm_bci_tpu.serving import export_forward
+    import __graft_entry__ as g
+
+    model = g._ndt1_ctc_model()
+    full = g._ndt1_batch()
+    params = model.init(jax.random.PRNGKey(0), **full, training=False)["params"]
+
+    serve_inputs = {
+        k: v for k, v in full.items() if not k.startswith("targets")
+    }
+    const = {k: v for k, v in full.items() if k.startswith("targets")}
+    path = export_forward(
+        model, params, serve_inputs, str(tmp_path / "ctc.jaxexport"),
+        outputs=("preds",), const_inputs=const, platforms=("cpu",),
+    )
+    fn = load_decode(path)
+    out = fn(params, serve_inputs)
+    ref = model.apply({"params": params}, **full, training=False)
+    np.testing.assert_allclose(
+        np.asarray(out["preds"]), np.asarray(ref.preds), rtol=1e-6
+    )
+
+
 def test_artifact_size_independent_of_values(served):
     """Weights are program ARGUMENTS, not baked constants: the artifact is
     MLIR of the program only (a few MB), so shipping new weights does not
