@@ -109,6 +109,8 @@ class ModelHandle:
 
 
 class Trainer:
+    _preempt_flag = False  # set by request_preemption / SIGTERM during train
+
     def __init__(
         self,
         config: DictConfig,
@@ -847,6 +849,32 @@ class Trainer:
         window_t0 = time.perf_counter()
         window_samples = 0
 
+        # Preemption-safe save (SURVEY.md §5 failure recovery; the reference
+        # has none): TPU pods are preempted with SIGTERM + a grace period.
+        # The handler only sets a flag; the save happens at the next step
+        # boundary (after_step), so the donated in-flight step completes and
+        # the checkpoint is a clean full train state — `training.resume=true`
+        # then loses zero steps instead of up to save_every. Multi-process
+        # runs agree on the boundary via a scalar allgather every
+        # `preemption_sync_every` steps (the save is collective; hosts must
+        # pick the SAME step).
+        save_on_preempt = bool(config.training.get("save_on_preemption", True))
+        preempt_sync = int(config.training.get("preemption_sync_every", 10))
+        # NOT reset here: a request_preemption() that raced ahead of train()
+        # (or was issued between train() calls) must still take effect at
+        # the first boundary. Cleared after the preemption save runs.
+        prev_term_handler = None
+        if save_on_preempt:
+            import signal as _signal
+
+            def _on_term(signum, frame):
+                self.request_preemption()
+
+            try:
+                prev_term_handler = _signal.signal(_signal.SIGTERM, _on_term)
+            except ValueError:  # not the main thread: flag-only API remains
+                prev_term_handler = None
+
         # One-step-lag metric readback: metric fns (and the per-step loss
         # scalar) sync device→host, so running them on step t's outputs
         # would fence the hot loop. Instead they run on step t−1's outputs
@@ -1006,11 +1034,44 @@ class Trainer:
                         "with training.resume=true."
                     )
 
-            if (
+            saved_here = bool(
                 config.training.save_every
                 and g % config.training.save_every == 0
-            ):
+            )
+            if saved_here:
                 self.save_checkpoint(f"STEP{g}")
+
+            preempted = self._preempt_flag
+            if jax.process_count() > 1:
+                # Collective save: every host must stop at the SAME step.
+                # Off the sync cadence, defer (the allgather would fence the
+                # async pipeline every step).
+                if save_on_preempt and g % preempt_sync == 0:
+                    from jax.experimental import multihost_utils
+
+                    preempted = bool(
+                        np.any(
+                            multihost_utils.process_allgather(
+                                np.asarray(self._preempt_flag)
+                            )
+                        )
+                    )
+                else:
+                    preempted = False
+            if preempted:
+                self.print_v(
+                    f"Preemption: saving full train state at step {g} and "
+                    "stopping (resume with training.resume=true)",
+                    verbosity=0,
+                )
+                drain(pending)
+                pending = []
+                if not saved_here:
+                    self.save_checkpoint(f"STEP{g}")
+                if self.writer is not None:
+                    self.writer.flush()
+                self._preempt_flag = False  # a later train() starts clean
+                return True
 
             if g >= total_budget:
                 self.print_v(
@@ -1024,122 +1085,141 @@ class Trainer:
                 return True
             return False
 
-        for epoch in range(min(start_epoch, n_epochs), n_epochs + 1):
-            self.print_v(f"Epoch {epoch}", verbosity=1)
-            stream = iter(self._prefetch(self.train_dataloader))
-            buf: list = []
-            exhausted = False
-            while True:
-                want = K if (K > 1 and chain_cap(global_step) >= K) else 1
-                while len(buf) < want and not exhausted:
-                    try:
-                        buf.append(next(stream))
-                    except StopIteration:
-                        exhausted = True
-                if not buf:
-                    break
+        def run_epochs() -> None:
+            # nonlocal: the loop rebinds these enclosing-scope names
+            nonlocal global_step, window_samples, pending
 
-                group = None
-                if (
-                    want == K
-                    and K > 1
-                    and len(buf) >= K
-                    and all(
-                        batch_sig(b[0]) == batch_sig(buf[0][0]) for b in buf[1:K]
-                    )
-                ):
-                    # One program, K optimizer steps (scan-over-steps).
-                    # Only exact-K groups chain — shorter runs (boundary
-                    # proximity, shape change, epoch tail) go through the
-                    # single-step program, so exactly two executables exist.
-                    group = buf[:K]
-                    del buf[:K]
+            for epoch in range(min(start_epoch, n_epochs), n_epochs + 1):
+                self.print_v(f"Epoch {epoch}", verbosity=1)
+                stream = iter(self._prefetch(self.train_dataloader))
+                buf: list = []
+                exhausted = False
+                while True:
+                    want = K if (K > 1 and chain_cap(global_step) >= K) else 1
+                    while len(buf) < want and not exhausted:
+                        try:
+                            buf.append(next(stream))
+                        except StopIteration:
+                            exhausted = True
+                    if not buf:
+                        break
 
-                if group is not None:
-                    stacked = self._chain_stack(*[it[0] for it in group])
-                    self.state, outs = self._train_step_chained(
-                        self.state, stacked
-                    )
-                    # Per-step (K,) device vectors; summed like scalars at
-                    # the averaging boundary.
-                    train_loss.append(outs["loss"])
-                    train_examples.append(outs["n_examples"])
-                    window_samples += sum(
-                        next(iter(it[0].values())).shape[0] for it in group
-                    )
-                    drain(pending)
-                    pending = []
-                    for j, (_db, mi, ui) in enumerate(group):
-                        # None output fields (e.g. CTC/BCI leave mask unset)
-                        # pass through lax.scan unstacked.
-                        outputs_j = {
-                            k2: (v[j] if v is not None else None)
-                            for k2, v in outs.items()
-                        }
-                        pending.append(
-                            (
-                                global_step + j,
-                                mi,
-                                ui,
-                                outputs_j,
-                                make_prepared(outputs_j),
-                            )
+                    group = None
+                    if (
+                        want == K
+                        and K > 1
+                        and len(buf) >= K
+                        and all(
+                            batch_sig(b[0]) == batch_sig(buf[0][0]) for b in buf[1:K]
                         )
-                    stop = False
-                    for _ in range(len(group)):
-                        stop = after_step(global_step)
-                        if stop:
-                            return
-                        global_step += 1
-                    continue
+                    ):
+                        # One program, K optimizer steps (scan-over-steps).
+                        # Only exact-K groups chain — shorter runs (boundary
+                        # proximity, shape change, epoch tail) go through the
+                        # single-step program, so exactly two executables exist.
+                        group = buf[:K]
+                        del buf[:K]
 
-                dev_batch, model_inputs, unused_inputs = buf.pop(0)
-                if profile_cfg and global_step == profile_cfg.get("start_step"):
-                    jax.profiler.start_trace(
-                        profile_cfg.get("dir", "profiles"),
-                    )
-                self.state, outputs = self._train_step(self.state, dev_batch)
-                window_samples += next(iter(dev_batch.values())).shape[0]
-                if profile_cfg and global_step == (
-                    profile_cfg.get("start_step", 0)
-                    + profile_cfg.get("num_steps", 5)
-                ):
-                    jax.tree_util.tree_map(
-                        lambda x: x.block_until_ready(), outputs["loss"]
-                    )
-                    jax.profiler.stop_trace()
-                    self.print_v(
-                        f"Profiler trace written to {profile_cfg.get('dir', 'profiles')}",
-                        verbosity=1,
-                    )
+                    if group is not None:
+                        stacked = self._chain_stack(*[it[0] for it in group])
+                        self.state, outs = self._train_step_chained(
+                            self.state, stacked
+                        )
+                        # Per-step (K,) device vectors; summed like scalars at
+                        # the averaging boundary.
+                        train_loss.append(outs["loss"])
+                        train_examples.append(outs["n_examples"])
+                        window_samples += sum(
+                            next(iter(it[0].values())).shape[0] for it in group
+                        )
+                        drain(pending)
+                        pending = []
+                        for j, (_db, mi, ui) in enumerate(group):
+                            # None output fields (e.g. CTC/BCI leave mask unset)
+                            # pass through lax.scan unstacked.
+                            outputs_j = {
+                                k2: (v[j] if v is not None else None)
+                                for k2, v in outs.items()
+                            }
+                            pending.append(
+                                (
+                                    global_step + j,
+                                    mi,
+                                    ui,
+                                    outputs_j,
+                                    make_prepared(outputs_j),
+                                )
+                            )
+                        stop = False
+                        for _ in range(len(group)):
+                            stop = after_step(global_step)
+                            if stop:
+                                return
+                            global_step += 1
+                        continue
 
-                # Async: device scalars are appended without host sync; the
-                # .item() equivalents happen at log/eval boundaries.
-                train_loss.append(outputs["loss"])
-                train_examples.append(outputs["n_examples"])
+                    dev_batch, model_inputs, unused_inputs = buf.pop(0)
+                    if profile_cfg and global_step == profile_cfg.get("start_step"):
+                        jax.profiler.start_trace(
+                            profile_cfg.get("dir", "profiles"),
+                        )
+                    self.state, outputs = self._train_step(self.state, dev_batch)
+                    window_samples += next(iter(dev_batch.values())).shape[0]
+                    if profile_cfg and global_step == (
+                        profile_cfg.get("start_step", 0)
+                        + profile_cfg.get("num_steps", 5)
+                    ):
+                        jax.tree_util.tree_map(
+                            lambda x: x.block_until_ready(), outputs["loss"]
+                        )
+                        jax.profiler.stop_trace()
+                        self.print_v(
+                            f"Profiler trace written to {profile_cfg.get('dir', 'profiles')}",
+                            verbosity=1,
+                        )
 
-                # Read back step t−1's metrics while step t runs on device.
-                drain(pending)
-                pending = [
-                    (
-                        global_step,
-                        model_inputs,
-                        unused_inputs,
-                        outputs,
-                        make_prepared(outputs),
-                    )
-                ]
+                    # Async: device scalars are appended without host sync; the
+                    # .item() equivalents happen at log/eval boundaries.
+                    train_loss.append(outputs["loss"])
+                    train_examples.append(outputs["n_examples"])
 
-                if after_step(global_step):
-                    return
-                global_step += 1
+                    # Read back step t−1's metrics while step t runs on device.
+                    drain(pending)
+                    pending = [
+                        (
+                            global_step,
+                            model_inputs,
+                            unused_inputs,
+                            outputs,
+                            make_prepared(outputs),
+                        )
+                    ]
 
-        drain(pending)
-        pending = []
-        if self.writer is not None:
-            self.writer.flush()
-            self.writer.close()
-        self.print_v("Training done", verbosity=1)
+                    if after_step(global_step):
+                        return
+                    global_step += 1
+
+            drain(pending)
+            pending = []
+            if self.writer is not None:
+                self.writer.flush()
+                self.writer.close()
+            self.print_v("Training done", verbosity=1)
+
+        try:
+            run_epochs()
+        finally:
+            if prev_term_handler is not None:
+                import signal as _signal
+
+                _signal.signal(_signal.SIGTERM, prev_term_handler)
+
+    def request_preemption(self) -> None:
+        """Ask a running ``train()`` to save a full checkpoint at the next
+        step boundary and return cleanly. Installed as the SIGTERM handler
+        while training (``training.save_on_preemption``, default true);
+        public for launchers with their own preemption notice."""
+        self._preempt_flag = True
 
     # ----------------------------------------------------------- checkpoint
 

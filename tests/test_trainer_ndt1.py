@@ -502,3 +502,62 @@ def test_chain_steps_ctc_with_none_output_fields(tmp_path):
     trainer.train()
     assert int(np.asarray(trainer.state.step)) == 4
     assert len(seen) >= 4 and np.isfinite(seen).all()
+
+
+def test_preemption_request_saves_and_stops(tmp_path):
+    """request_preemption() makes train() save a FULL train state at the
+    next step boundary and return — zero lost steps on SIGTERM instead of
+    up to save_every (SURVEY §5 failure recovery)."""
+    import os
+
+    from llm_bci_tpu.training import Trainer
+
+    cfg = base_config(tmp_path)
+    cfg["training"]["max_steps"] = 50
+    cfg["training"]["save_every"] = None
+    trainer = Trainer(cfg, dataset=synth_dataset())
+    trainer.request_preemption()       # flag set before step 1's boundary
+    trainer.train()
+    assert int(np.asarray(trainer.state.step)) == 1
+    assert os.path.isdir(str(tmp_path / "ckpt" / "smoke" / "STEP1"))
+
+    # the saved state resumes, and the budget picks up where it stopped
+    trainer2 = Trainer(cfg, dataset=synth_dataset())
+    assert trainer2.resume_from() == 1
+    p1 = np.asarray(next(iter(jax_leaves(trainer.state.params))))
+    p2 = np.asarray(next(iter(jax_leaves(trainer2.state.params))))
+    np.testing.assert_allclose(p1, p2)
+
+
+def test_sigterm_saves_full_state_mid_train(tmp_path):
+    """A real SIGTERM mid-run triggers the boundary save; the previous
+    handler is restored after train() returns."""
+    import os
+    import signal
+
+    from llm_bci_tpu.training import Trainer
+
+    prev = signal.getsignal(signal.SIGTERM)
+    cfg = base_config(tmp_path)
+    cfg["training"]["max_steps"] = 50
+    cfg["training"]["save_every"] = None
+
+    fired = []
+
+    def metric(model, model_inputs, unused_inputs, outputs, **kw):
+        # runs on the host (drain) during step 2: the handler sets the
+        # flag in the main thread, step 2's boundary saves and stops
+        if not fired:
+            fired.append(True)
+            os.kill(os.getpid(), signal.SIGTERM)
+        return 0.0
+
+    trainer = Trainer(
+        cfg, dataset=synth_dataset(), metric_fns={"poke": metric}
+    )
+    trainer.train()
+
+    step = int(np.asarray(trainer.state.step))
+    assert 1 <= step <= 3, step
+    assert os.path.isdir(str(tmp_path / "ckpt" / "smoke" / f"STEP{step}"))
+    assert signal.getsignal(signal.SIGTERM) == prev
