@@ -81,6 +81,11 @@ def build_optimizer(
         weight_decay=float(opt_cfg.get("wd", 0.01)),
         eps=float(opt_cfg.get("eps", 1e-8)),
     )
+    # Beyond-reference knob (off by default = reference parity): global-norm
+    # gradient clipping BEFORE the Adam moments, the conventional placement.
+    clip = opt_cfg.get("grad_clip_norm")
+    if clip:
+        tx = optax.chain(optax.clip_by_global_norm(float(clip)), tx)
     gas = int(opt_cfg.get("gradient_accumulation_steps", 1) or 1)
     if gas > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=gas)

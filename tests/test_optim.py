@@ -104,3 +104,36 @@ def test_gradient_accumulation_equals_mean_of_micro_grads():
     np.testing.assert_allclose(
         np.asarray(p_final["w"]), np.asarray(p_ref["w"]), rtol=1e-6
     )
+
+
+def test_grad_clip_norm_knob():
+    """optimizer.grad_clip_norm clips by GLOBAL norm before the Adam
+    moments: with norm 50 gradients and clip 1.0, the update must equal
+    the unclipped optimizer fed gradients/50."""
+    base = {"lr": 1.0, "scheduler": "linear", "warmup_pct": 0.0}
+    params = {"w": jnp.zeros(3), "b": jnp.zeros(1)}
+    grads = {"w": jnp.asarray([30.0, 40.0, 0.0]), "b": jnp.asarray([0.0])}
+
+    tx, _ = build_optimizer(DictConfig({**base, "grad_clip_norm": 1.0}), 10, 1)
+    up, _ = tx.update(grads, tx.init(params), params)
+
+    tx2, _ = build_optimizer(DictConfig(base), 10, 1)
+    scaled = jax.tree_util.tree_map(lambda g: g / 50.0, grads)
+    up2, _ = tx2.update(scaled, tx2.init(params), params)
+    for k in up:
+        np.testing.assert_allclose(np.asarray(up[k]), np.asarray(up2[k]), rtol=1e-6)
+
+
+def test_grad_clip_trains_under_fsdp(tmp_path):
+    """The clip transform changes the opt-state pytree structure; the
+    trainer's explicit FSDP opt-state shardings must still apply."""
+    from tests.test_trainer_ndt1 import base_config, synth_dataset
+    from llm_bci_tpu.training import Trainer
+
+    cfg = base_config(tmp_path)
+    cfg["optimizer"]["grad_clip_norm"] = 1.0
+    cfg["parallelism"] = {"data": 2, "fsdp": 4, "fsdp_min_size": 16}
+    trainer = Trainer(cfg, dataset=synth_dataset())
+    trainer.train()
+    loss, _ = trainer.evaluate()
+    assert np.isfinite(loss)
