@@ -280,6 +280,9 @@ def bench_trainer_path(steps: int = 30):
                 "save_every": None,
                 "drop_last_train_dataloader": True,
                 "cache_device_batches": True,
+                # a benchmark must die on SIGTERM (timeout / ^C in a
+                # wrapper), not checkpoint-and-continue
+                "save_on_preemption": False,
             },
             "model": {"model_class": "NDT1", "encoder": enc},
             "data": {"dataset_class": "decoding"},

@@ -49,6 +49,25 @@ def _struct_tree(tree: Any):
     return jax.tree_util.tree_map(one, tree)
 
 
+def _default_platforms() -> Tuple[str, ...]:
+    host = jax.default_backend()
+    return ("tpu",) if host == "tpu" else ("tpu", host)
+
+
+def _export(fn, params, example_inputs, out_path: str, platforms) -> str:
+    """Lower ``fn(params, inputs)``, serialize, write. Shared tail of the
+    two exporters so artifact handling can't diverge between them."""
+    platforms = list(platforms if platforms is not None else _default_platforms())
+    exp = jax_export.export(jax.jit(fn), platforms=platforms)(
+        _struct_tree(params), _struct_tree(example_inputs)
+    )
+    parent = os.path.dirname(os.path.abspath(out_path))
+    os.makedirs(parent, exist_ok=True)
+    with open(out_path, "wb") as f:
+        f.write(exp.serialize())
+    return out_path
+
+
 def export_decode(
     model,
     params: Dict[str, Any],
@@ -61,6 +80,7 @@ def export_decode(
     num_beam_groups: int = 1,
     diversity_penalty: float = 0.0,
     length_penalty: float = 1.0,
+    early_stopping: bool = False,
     eos_token_id: int = 2,
     pad_token_id: int = 0,
     platforms: Optional[Sequence[str]] = None,
@@ -79,10 +99,6 @@ def export_decode(
     the serving TPU and remains executable host-side for smoke tests.
     Returns ``out_path``.
     """
-    if platforms is None:
-        host = jax.default_backend()
-        platforms = ("tpu",) if host == "tpu" else ("tpu", host)
-
     gen_kwargs = dict(
         max_new_tokens=max_new_tokens,
         num_beams=num_beams,
@@ -90,6 +106,7 @@ def export_decode(
         num_beam_groups=num_beam_groups,
         diversity_penalty=diversity_penalty,
         length_penalty=length_penalty,
+        early_stopping=early_stopping,
         eos_token_id=eos_token_id,
         pad_token_id=pad_token_id,
     )
@@ -99,14 +116,7 @@ def export_decode(
             {"params": params}, **inputs, method="generate", **gen_kwargs
         )
 
-    exp = jax_export.export(jax.jit(decode), platforms=list(platforms))(
-        _struct_tree(params), _struct_tree(example_inputs)
-    )
-    blob = exp.serialize()
-    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
-    with open(out_path, "wb") as f:
-        f.write(blob)
-    return out_path
+    return _export(decode, params, example_inputs, out_path, platforms)
 
 
 def export_forward(
@@ -138,9 +148,6 @@ def export_forward(
     ``apply_kwargs`` bake likewise (e.g. ``masker_overrides``). Returns
     ``out_path``.
     """
-    if platforms is None:
-        host = jax.default_backend()
-        platforms = ("tpu",) if host == "tpu" else ("tpu", host)
     const_inputs = const_inputs or {}
 
     def forward(params, inputs):
@@ -150,13 +157,7 @@ def export_forward(
         )
         return {k: getattr(out, k) for k in outputs}
 
-    exp = jax_export.export(jax.jit(forward), platforms=list(platforms))(
-        _struct_tree(params), _struct_tree(example_inputs)
-    )
-    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
-    with open(out_path, "wb") as f:
-        f.write(exp.serialize())
-    return out_path
+    return _export(forward, params, example_inputs, out_path, platforms)
 
 
 def load_decode(path: str):
@@ -164,15 +165,18 @@ def load_decode(path: str):
 
     Returns ``fn(params, inputs) -> tokens`` (or a ``BeamResult``-shaped
     tuple when the artifact was exported with
-    ``num_return_sequences > 1``). The callable runs under ``jax.jit``
-    semantics on whatever platform the artifact was exported for; no
-    model class or config is needed.
+    ``num_return_sequences > 1``). The callable is jitted — the first
+    call traces the exported program once, every later call hits the
+    cached executable (the latency-critical property for the per-window
+    serving loop); no model class or config is needed.
     """
     with open(path, "rb") as f:
         exp = jax_export.deserialize(f.read())
 
+    jfn = jax.jit(lambda params, inputs: exp.call(params, inputs))
+
     def fn(params, inputs):
-        return exp.call(params, inputs)
+        return jfn(params, inputs)
 
     fn.in_avals = exp.in_avals
     fn.platforms = exp.platforms

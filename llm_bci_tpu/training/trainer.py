@@ -859,11 +859,15 @@ class Trainer:
         # `preemption_sync_every` steps (the save is collective; hosts must
         # pick the SAME step).
         save_on_preempt = bool(config.training.get("save_on_preemption", True))
-        preempt_sync = int(config.training.get("preemption_sync_every", 10))
+        preempt_sync = max(1, int(config.training.get("preemption_sync_every", 10)))
         # NOT reset here: a request_preemption() that raced ahead of train()
         # (or was issued between train() calls) must still take effect at
         # the first boundary. Cleared after the preemption save runs.
-        prev_term_handler = None
+        # Sentinel (not None): a process may legitimately have None as its
+        # prior Python-level handler (C-level installed) — the finally block
+        # must still restore it.
+        _NO_HANDLER = object()
+        prev_term_handler = _NO_HANDLER
         if save_on_preempt:
             import signal as _signal
 
@@ -873,7 +877,7 @@ class Trainer:
             try:
                 prev_term_handler = _signal.signal(_signal.SIGTERM, _on_term)
             except ValueError:  # not the main thread: flag-only API remains
-                prev_term_handler = None
+                prev_term_handler = _NO_HANDLER
 
         # One-step-lag metric readback: metric fns (and the per-step loss
         # scalar) sync device→host, so running them on step t's outputs
@@ -957,6 +961,45 @@ class Trainer:
             nonlocal pending, train_loss, train_examples, train_metrics
             nonlocal window_t0, window_samples
 
+            # Preemption FIRST: the grace period must not be burned on a
+            # full eval pass. The flag is honored whether it came from the
+            # SIGTERM handler or an explicit request_preemption(). The
+            # checkpoint tag uses the TRUE state step — at a chain-interior
+            # boundary the state already reflects the whole K-step chain,
+            # so tagging with g would understate the contents.
+            preempted = self._preempt_flag
+            if jax.process_count() > 1:
+                # Collective save: every host must stop at the SAME step.
+                # Off the sync cadence, defer (an allgather every step
+                # would fence the async pipeline).
+                if g % preempt_sync == 0:
+                    from jax.experimental import multihost_utils
+
+                    preempted = bool(
+                        np.any(
+                            multihost_utils.process_allgather(
+                                np.asarray(self._preempt_flag)
+                            )
+                        )
+                    )
+                else:
+                    preempted = False
+            if preempted:
+                true_step = int(np.asarray(self.state.step))
+                self.print_v(
+                    f"Preemption: saving full train state at step "
+                    f"{true_step} and stopping (resume with "
+                    "training.resume=true)",
+                    verbosity=0,
+                )
+                drain(pending)
+                pending = []
+                self.save_checkpoint(f"STEP{true_step}")
+                if self.writer is not None:
+                    self.writer.flush()
+                self._preempt_flag = False  # a later train() starts clean
+                return True
+
             if (
                 config.training.eval_every
                 and g % config.training.eval_every == 0
@@ -1034,44 +1077,11 @@ class Trainer:
                         "with training.resume=true."
                     )
 
-            saved_here = bool(
+            if (
                 config.training.save_every
                 and g % config.training.save_every == 0
-            )
-            if saved_here:
+            ):
                 self.save_checkpoint(f"STEP{g}")
-
-            preempted = self._preempt_flag
-            if jax.process_count() > 1:
-                # Collective save: every host must stop at the SAME step.
-                # Off the sync cadence, defer (the allgather would fence the
-                # async pipeline every step).
-                if save_on_preempt and g % preempt_sync == 0:
-                    from jax.experimental import multihost_utils
-
-                    preempted = bool(
-                        np.any(
-                            multihost_utils.process_allgather(
-                                np.asarray(self._preempt_flag)
-                            )
-                        )
-                    )
-                else:
-                    preempted = False
-            if preempted:
-                self.print_v(
-                    f"Preemption: saving full train state at step {g} and "
-                    "stopping (resume with training.resume=true)",
-                    verbosity=0,
-                )
-                drain(pending)
-                pending = []
-                if not saved_here:
-                    self.save_checkpoint(f"STEP{g}")
-                if self.writer is not None:
-                    self.writer.flush()
-                self._preempt_flag = False  # a later train() starts clean
-                return True
 
             if g >= total_budget:
                 self.print_v(
@@ -1209,10 +1219,19 @@ class Trainer:
         try:
             run_epochs()
         finally:
-            if prev_term_handler is not None:
+            if prev_term_handler is not _NO_HANDLER:
                 import signal as _signal
 
-                _signal.signal(_signal.SIGTERM, prev_term_handler)
+                # A None previous handler means it was installed at the C
+                # level — unrepresentable in Python, so restore the default
+                # disposition rather than leaving our closure installed
+                # (which would pin this Trainer and no-op the host's TERM).
+                _signal.signal(
+                    _signal.SIGTERM,
+                    prev_term_handler
+                    if prev_term_handler is not None
+                    else _signal.SIG_DFL,
+                )
 
     def request_preemption(self) -> None:
         """Ask a running ``train()`` to save a full checkpoint at the next

@@ -561,3 +561,25 @@ def test_sigterm_saves_full_state_mid_train(tmp_path):
     assert 1 <= step <= 3, step
     assert os.path.isdir(str(tmp_path / "ckpt" / "smoke" / f"STEP{step}"))
     assert signal.getsignal(signal.SIGTERM) == prev
+
+
+def test_preemption_skips_eval_at_boundary(tmp_path):
+    """A preemption landing on an eval-aligned boundary must NOT burn the
+    grace period on the eval pass — save-and-stop comes first."""
+    import os
+
+    from llm_bci_tpu.training import Trainer
+
+    cfg = base_config(tmp_path)
+    cfg["training"]["max_steps"] = 50
+    cfg["training"]["eval_every"] = 1
+
+    trainer = Trainer(cfg, dataset=synth_dataset())
+
+    def no_eval(*a, **k):
+        raise AssertionError("evaluate() ran during preemption shutdown")
+
+    trainer.evaluate = no_eval
+    trainer.request_preemption()
+    trainer.train()
+    assert os.path.isdir(str(tmp_path / "ckpt" / "smoke" / "STEP1"))
