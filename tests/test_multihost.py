@@ -79,10 +79,23 @@ cfg = DictConfig(
     }
 )
 
+if phase == "preempt":
+    # the preemption boundary must be agreed collectively: only process 0
+    # raises the flag, the per-step allgather propagates it, BOTH must
+    # save the same step (the save itself is collective).
+    cfg["training"]["max_steps"] = 20
+    cfg["training"]["save_every"] = None
+    cfg["training"]["preemption_sync_every"] = 1
+
 trainer = Trainer(cfg, dataset=dataset)
 if phase == "train":
     trainer.train()  # 3 steps; saves the distributed train_state at step 3
     loss, _ = trainer.evaluate()
+elif phase == "preempt":
+    if pid == 0:
+        trainer.request_preemption()
+    trainer.train()
+    loss = float(np.asarray(trainer.state.step))  # steps actually run
 else:
     step = trainer.resume_from()
     assert step == 3, f"resumed step {step}"
@@ -147,3 +160,28 @@ def test_two_process_train_checkpoint_resume(tmp_path):
     assert abs(resumed[0] - resumed[1]) < 1e-6
     # the restored params are the trained ones, not a fresh init
     assert abs(resumed[0] - losses[0]) < 1e-5
+
+
+@pytest.mark.slow
+def test_two_process_preemption_agrees_on_step(tmp_path):
+    """Only process 0 is told to preempt; the per-boundary allgather must
+    make BOTH processes stop at the same step and write one collective
+    checkpoint (a one-sided stop would hang or corrupt the save)."""
+    rng = np.random.default_rng(1)
+    rows = lambda n: [
+        {"spikes": rng.poisson(1.0, size=(20, 12)).astype(np.float32),
+         "day_idx": np.asarray(i % 2), "block_idx": np.asarray(i % 2)}
+        for i in range(n)
+    ]
+    pickle.dump(
+        {"train": rows(24), "test": rows(8)}, open(tmp_path / "data.pkl", "wb")
+    )
+
+    steps = _run_phase(str(tmp_path), _free_port(), "preempt")
+    assert steps[0] == steps[1], steps
+    n = int(steps[0])
+    assert 1 <= n < 20, steps  # stopped early, not at the budget
+    # multi-process layout: the distributed orbax states live step-keyed
+    # beside the STEP tags (each host writes only its shards)
+    ckpt = tmp_path / "ckpt" / "mh" / "train_state" / str(n)
+    assert ckpt.is_dir(), f"missing distributed checkpoint at {ckpt}"
