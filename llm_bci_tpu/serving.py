@@ -56,11 +56,23 @@ def _default_platforms() -> Tuple[str, ...]:
 
 def _export(fn, params, example_inputs, out_path: str, platforms) -> str:
     """Lower ``fn(params, inputs)``, serialize, write. Shared tail of the
-    two exporters so artifact handling can't diverge between them."""
+    two exporters so artifact handling can't diverge between them.
+
+    The op mesh is cleared for the trace: a live multi-device Trainer in
+    the same process assigns it (``ops/spmd.set_op_mesh``), and a
+    ``shard_map``-wrapped kernel would bake that mesh into the artifact —
+    serving artifacts are single-program by design."""
+    from llm_bci_tpu.ops import spmd
+
     platforms = list(platforms if platforms is not None else _default_platforms())
-    exp = jax_export.export(jax.jit(fn), platforms=platforms)(
-        _struct_tree(params), _struct_tree(example_inputs)
-    )
+    prev_mesh = spmd.op_mesh()
+    spmd.set_op_mesh(None)
+    try:
+        exp = jax_export.export(jax.jit(fn), platforms=platforms)(
+            _struct_tree(params), _struct_tree(example_inputs)
+        )
+    finally:
+        spmd.set_op_mesh(prev_mesh)
     parent = os.path.dirname(os.path.abspath(out_path))
     os.makedirs(parent, exist_ok=True)
     with open(out_path, "wb") as f:
