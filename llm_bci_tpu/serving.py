@@ -139,6 +139,7 @@ def export_forward(
     *,
     outputs: Sequence[str] = ("preds",),
     const_inputs: Optional[Dict[str, Any]] = None,
+    rngs: Optional[Dict[str, Any]] = None,
     platforms: Optional[Sequence[str]] = None,
     **apply_kwargs,
 ) -> str:
@@ -157,15 +158,17 @@ def export_forward(
     dummy targets) vanish from the compiled program. ``const_inputs``
     are baked as constants to satisfy loss-path arguments the serving
     signature shouldn't expose (dummy ``targets``/``targets_lengths``);
-    ``apply_kwargs`` bake likewise (e.g. ``masker_overrides``). Returns
-    ``out_path``.
+    ``apply_kwargs`` bake likewise (e.g. ``masker_overrides``), as do
+    ``rngs`` for models whose inference path draws a stream (force-active
+    maskers: the key becomes a constant, so the artifact's mask draw is
+    fixed — export per draw if you need several). Returns ``out_path``.
     """
     const_inputs = const_inputs or {}
 
     def forward(params, inputs):
         out = model.apply(
             {"params": params}, **inputs, **const_inputs,
-            training=False, **apply_kwargs,
+            training=False, rngs=rngs, **apply_kwargs,
         )
         return {k: getattr(out, k) for k in outputs}
 

@@ -133,6 +133,47 @@ def test_export_ndt1_ctc_forward(tmp_path):
     )
 
 
+def test_export_itransformer_behaviour_decoder(tmp_path):
+    """export_forward works for any registered model: an iTransformer
+    choice-decoding artifact (spikes -> class log-probs) exports and
+    matches the in-process forward."""
+    from llm_bci_tpu.serving import export_forward
+    from llm_bci_tpu.training import Trainer
+    from tests.test_itransformer import REGIONS, _prep, it_config, synth_ibl_dataset
+
+    cfg = it_config(tmp_path, "stat_behaviour", loss="xent", n_labels=2)
+    cfg["data"]["dataset_class"] = "decoding"
+    cfg["method"]["dataset_kwargs"] = {"targets_name": "choice"}
+    # fp32 compute: the exported program and the in-process eager apply fuse
+    # differently, and bf16 rounding under different fusion orders diverges
+    # by ~5e-3 — fp32 keeps the equality check tight.
+    cfg["precision"] = {"param_dtype": "float32", "compute_dtype": "float32"}
+    trainer = Trainer(cfg, dataset=_prep(synth_ibl_dataset(), REGIONS))
+    trainer.train()
+
+    batch, _ = next(iter(trainer.test_dataloader))
+    full = {
+        k: np.asarray(v) for k, v in batch.items() if k in trainer.model_inputs
+    }
+    serve = {k: v for k, v in full.items() if not k.startswith("targets")}
+    const = {k: v for k, v in full.items() if k.startswith("targets")}
+    params = jax.device_get(trainer.state.params)
+
+    rngs = {"mask": jax.random.PRNGKey(7)}  # force-active masker stream
+    path = export_forward(
+        trainer.model, params, serve, str(tmp_path / "it.jaxexport"),
+        outputs=("preds",), const_inputs=const, rngs=rngs, platforms=("cpu",),
+    )
+    fn = load_decode(path)
+    out = fn(params, serve)
+    ref = trainer.model.apply(
+        {"params": params}, **full, training=False, rngs=rngs
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["preds"]), np.asarray(ref.preds), rtol=2e-5, atol=1e-6
+    )
+
+
 def test_artifact_size_independent_of_values(served):
     """Weights are program ARGUMENTS, not baked constants: the artifact is
     MLIR of the program only (a few MB), so shipping new weights does not
