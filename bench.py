@@ -34,7 +34,11 @@ import numpy as np
 
 B, T, N, VOCAB = 64, 512, 256, 41
 S = 64
-WARMUP, ITERS = 3, 10
+# ≥20 timed iterations: 10-iter windows on the dev relay measured ~12% low
+# (warmup/throttle tail); the timed loops are ms-scale so the extra
+# iterations cost nothing next to compile.
+WARMUP = int(os.environ.get("BENCH_WARMUP", 5))
+ITERS = int(os.environ.get("BENCH_ITERS", 30))
 
 # bf16 peak matmul throughput per chip; MFU is reported against this even
 # for fp32 runs so numbers stay comparable across BENCH_DTYPE settings.
@@ -875,7 +879,48 @@ def main_generate7b():
     )
 
 
+def _probe_backend_or_die():
+    """Fail loudly (one JSON error line) instead of hanging forever when the
+    TPU relay is down: ``jax.devices()`` blocks in connect with no error in
+    that state, which would leave the driver's bench record empty. The probe
+    runs in a SUBPROCESS so a hung connect can be killed without poisoning
+    this process; a probe killed while the relay is absent does not poison
+    the chip lock (only kills mid-*init* with a live relay do). Skip with
+    BENCH_NO_PROBE=1 or when the backend is forced to cpu."""
+    if os.environ.get("BENCH_NO_PROBE") == "1":
+        return
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return
+    import subprocess
+
+    timeout_s = float(os.environ.get("BENCH_PROBE_TIMEOUT", 180))
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, check=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+    except Exception as e:  # noqa: BLE001 — any probe failure means no chip
+        print(
+            json.dumps(
+                {
+                    "metric": "ndt1_ctc_train_samples_per_sec",
+                    "value": 0.0,
+                    "unit": "samples/s/chip",
+                    "vs_baseline": 0.0,
+                    "error": (
+                        "TPU backend unreachable (probe "
+                        f"{type(e).__name__} after {timeout_s:.0f}s): relay "
+                        "down or chip held by another client"
+                    ),
+                }
+            )
+        )
+        raise SystemExit(0)
+
+
 if __name__ == "__main__":
+    _probe_backend_or_die()
     if "--workload" in sys.argv and "generate7b" in sys.argv:
         main_generate7b()
     elif "--workload" in sys.argv and "bci" in sys.argv:
