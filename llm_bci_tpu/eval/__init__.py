@@ -1,3 +1,7 @@
+from llm_bci_tpu.eval.ctc_decode import (  # noqa: F401
+    CTCPrefixDecoder,
+    ctc_prefix_beam_search,
+)
 from llm_bci_tpu.eval.eval_bci import (  # noqa: F401
     edit_distance,
     format_ctc,

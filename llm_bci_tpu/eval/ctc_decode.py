@@ -36,6 +36,68 @@ def _logsumexp2(a: float, b: float) -> float:
     return m + math.log1p(math.exp(-abs(a - b)))
 
 
+def _advance_frame(
+    beams: dict,
+    frame: np.ndarray,
+    beam_width: int,
+    blank_id: int,
+    lm: Optional[Callable[[Tuple[int, ...], int], float]],
+    lm_weight: float,
+) -> dict:
+    """One lattice step: advance every beam through one frame's
+    log-probabilities, then prune to ``beam_width``. ``beams`` maps
+    prefix tuple -> (p_blank, p_nonblank): probability of the prefix with
+    the last consumed frame being blank / non-blank."""
+    V = frame.shape[0]
+    new: dict = {}
+
+    def add(prefix, pb, pnb):
+        opb, opnb = new.get(prefix, (NEG_INF, NEG_INF))
+        new[prefix] = (_logsumexp2(opb, pb), _logsumexp2(opnb, pnb))
+
+    for prefix, (pb, pnb) in beams.items():
+        p_total = _logsumexp2(pb, pnb)
+        last = prefix[-1] if prefix else None
+
+        # stay on blank: prefix unchanged, ends blank
+        add(prefix, p_total + frame[blank_id], NEG_INF)
+        # repeat the last label without a blank in between: the frames
+        # collapse, prefix unchanged, ends non-blank
+        if last is not None:
+            add(prefix, NEG_INF, pnb + frame[last])
+
+        for c in range(V):
+            if c == blank_id:
+                continue
+            p_c = frame[c]
+            if p_c == NEG_INF:
+                continue
+            ext = prefix + (c,)
+            bonus = lm_weight * lm(prefix, c) if lm is not None else 0.0
+            if c == last:
+                # extending with the same label needs a blank between
+                # the two emissions: only the ends-blank mass extends
+                add(ext, NEG_INF, pb + p_c + bonus)
+            else:
+                add(ext, NEG_INF, p_total + p_c + bonus)
+
+    scored = sorted(
+        new.items(),
+        key=lambda kv: _logsumexp2(kv[1][0], kv[1][1]),
+        reverse=True,
+    )
+    return dict(scored[:beam_width])
+
+
+def _n_best(beams: dict, n_best: int) -> List[Tuple[List[int], float]]:
+    final = sorted(
+        ((list(p), _logsumexp2(pb, pnb)) for p, (pb, pnb) in beams.items()),
+        key=lambda kv: kv[1],
+        reverse=True,
+    )
+    return final[:n_best]
+
+
 def ctc_prefix_beam_search(
     log_probs: np.ndarray,
     beam_width: int = 16,
@@ -52,60 +114,61 @@ def ctc_prefix_beam_search(
     collapse approximates with its single best alignment.
     """
     lp = np.asarray(log_probs, dtype=np.float64)
-    T, V = lp.shape
-
-    # prefix -> (p_blank, p_nonblank): probability of the prefix with the
-    # last emitted frame being blank / non-blank.
     beams: dict = {(): (0.0, NEG_INF)}
+    for frame in lp:
+        beams = _advance_frame(beams, frame, beam_width, blank_id, lm, lm_weight)
+    return _n_best(beams, n_best)
 
-    for t in range(T):
-        frame = lp[t]
-        new: dict = {}
 
-        def add(prefix, pb, pnb):
-            opb, opnb = new.get(prefix, (NEG_INF, NEG_INF))
-            new[prefix] = (_logsumexp2(opb, pb), _logsumexp2(opnb, pnb))
+class CTCPrefixDecoder:
+    """Streaming prefix beam search: the stateful host stage of the
+    real-time loop (docs/serving.md).
 
-        for prefix, (pb, pnb) in beams.items():
-            p_total = _logsumexp2(pb, pnb)
-            last = prefix[-1] if prefix else None
+    The exported NDT1-CTC artifact emits one window of per-frame
+    log-probs at a time; ``step(window)`` folds each window into the
+    carried beam state, so decoding chunk-by-chunk is EXACTLY the
+    one-shot search over the concatenated frames (the lattice recursion
+    is frame-local; window boundaries don't exist in the math — blank /
+    repeat bookkeeping carries across them). ``step`` returns the current
+    best hypothesis, so the UI can render a live transcript while the
+    next window's device forward runs.
+    """
 
-            # stay on blank: prefix unchanged, ends blank
-            add(prefix, p_total + frame[blank_id], NEG_INF)
-            # repeat the last label without a blank in between: the frames
-            # collapse, prefix unchanged, ends non-blank
-            if last is not None:
-                add(prefix, NEG_INF, pnb + frame[last])
+    def __init__(
+        self,
+        beam_width: int = 16,
+        blank_id: int = 0,
+        lm: Optional[Callable[[Tuple[int, ...], int], float]] = None,
+        lm_weight: float = 0.0,
+    ):
+        self.beam_width = beam_width
+        self.blank_id = blank_id
+        self.lm = lm
+        self.lm_weight = lm_weight
+        self.reset()
 
-            for c in range(V):
-                if c == blank_id:
-                    continue
-                p_c = frame[c]
-                if p_c == NEG_INF:
-                    continue
-                ext = prefix + (c,)
-                bonus = lm_weight * lm(prefix, c) if lm is not None else 0.0
-                if c == last:
-                    # extending with the same label needs a blank between
-                    # the two emissions: only the ends-blank mass extends
-                    add(ext, NEG_INF, pb + p_c + bonus)
-                else:
-                    add(ext, NEG_INF, p_total + p_c + bonus)
+    def reset(self) -> None:
+        """Start a new utterance."""
+        self._beams = {(): (0.0, NEG_INF)}
 
-        # prune to the beam
-        scored = sorted(
-            new.items(),
-            key=lambda kv: _logsumexp2(kv[1][0], kv[1][1]),
-            reverse=True,
-        )
-        beams = dict(scored[:beam_width])
+    def step(self, log_probs: np.ndarray) -> Tuple[List[int], float]:
+        """Fold a ``(T_window, V)`` chunk of frame log-probs into the
+        beam state; returns the current best ``(labels, log_prob)``."""
+        lp = np.asarray(log_probs, dtype=np.float64)
+        if lp.ndim != 2:
+            raise ValueError(f"expected (T, V) frame log-probs, got {lp.shape}")
+        for frame in lp:
+            self._beams = _advance_frame(
+                self._beams, frame, self.beam_width, self.blank_id,
+                self.lm, self.lm_weight,
+            )
+        return self.best()
 
-    final = sorted(
-        ((list(p), _logsumexp2(pb, pnb)) for p, (pb, pnb) in beams.items()),
-        key=lambda kv: kv[1],
-        reverse=True,
-    )
-    return final[:n_best]
+    def best(self) -> Tuple[List[int], float]:
+        return self.n_best(1)[0]
+
+    def n_best(self, n: int) -> List[Tuple[List[int], float]]:
+        return _n_best(self._beams, n)
 
 
 def ctc_brute_force(

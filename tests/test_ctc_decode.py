@@ -96,3 +96,46 @@ def test_matches_jax_ctc_loss_probability():
         impl="xla",
     )
     np.testing.assert_allclose(-float(loss[0]), logp, rtol=1e-5)
+
+
+def test_streaming_decoder_matches_one_shot():
+    """CTCPrefixDecoder over arbitrary window splits is EXACTLY the
+    one-shot search over the concatenated frames — the beam state carries
+    blank/repeat bookkeeping across window boundaries."""
+    from llm_bci_tpu.eval.ctc_decode import CTCPrefixDecoder
+
+    lp = _rand_logprobs(T=24, V=6, seed=3)
+    ref = ctc_prefix_beam_search(lp, beam_width=8, n_best=4)
+
+    for splits in [(6, 6, 6, 6), (1,) * 24, (5, 11, 8), (24,)]:
+        dec = CTCPrefixDecoder(beam_width=8)
+        off = 0
+        for w in splits:
+            labels, logp = dec.step(lp[off : off + w])
+            off += w
+        assert off == 24
+        got = dec.n_best(4)
+        assert [l for l, _ in got] == [l for l, _ in ref]
+        np.testing.assert_allclose(
+            [p for _, p in got], [p for _, p in ref], rtol=1e-12
+        )
+
+
+def test_streaming_decoder_reset_and_live_best():
+    """reset() starts a fresh utterance; step() returns the running best
+    so a live transcript can render mid-utterance."""
+    from llm_bci_tpu.eval.ctc_decode import CTCPrefixDecoder
+
+    lp = _rand_logprobs(T=10, V=5, seed=11)
+    dec = CTCPrefixDecoder(beam_width=8)
+    mid, _ = dec.step(lp[:4])
+    assert mid == ctc_prefix_beam_search(lp[:4], beam_width=8)[0][0]
+    dec.step(lp[4:])
+    assert dec.best()[0] == ctc_prefix_beam_search(lp, beam_width=8)[0][0]
+
+    dec.reset()
+    dec.step(lp)
+    assert dec.best()[0] == ctc_prefix_beam_search(lp, beam_width=8)[0][0]
+
+    with pytest.raises(ValueError):
+        dec.step(lp[0])  # (V,) — must be (T, V)
