@@ -113,14 +113,13 @@ class BCI(nn.Module):
             # (save_config) so the reloaded model is structurally identical
             # to the trained one (reference from_pretrained re-reads its
             # saved configs, models/bci.py:88-101).
-            for key, fname in (
-                ("projector", "projector_config.yaml"),
-                ("encoder", "encoder_config.yaml"),
-            ):
-                path = os.path.join(pt_path, fname)
-                if not os.path.exists(path):
+            from llm_bci_tpu.interop.torch_import import load_saved_component_config
+
+            for key in ("projector", "encoder"):
+                # ours (yaml) or the reference's *_config.pth next to the bins
+                saved = load_saved_component_config(pt_path, key)
+                if saved is None:
                     continue
-                saved = yaml.safe_load(open(path))
                 if key == "projector":
                     cfg["projector"] = update_config(cfg["projector"], saved)
                 else:
@@ -432,6 +431,21 @@ class BCI(nn.Module):
         from llm_bci_tpu.utils.serialization import load_params
 
         params = unfreeze(params)
+        from llm_bci_tpu.interop.torch_import import is_torch_checkpoint
+
+        if is_torch_checkpoint(load_dir):
+            # Reference-format BCI checkpoint (models/bci.py:250-264): the
+            # inner NDT1 bins + projector.bin + the llm dir (full HF weights
+            # or a peft LoRA adapter; base weights fall back to llm_path).
+            from llm_bci_tpu.interop.torch_import import bci_params_from_torch
+
+            return bci_params_from_torch(
+                load_dir,
+                params,
+                llama_config=self.llama_config,
+                llm_dir=self.config.get("llm_path"),
+                quant=self.quant,
+            )
         for name, fname in (
             ("llm", "llm.msgpack"),
             ("ndt1_encoder", "encoder.msgpack"),
@@ -454,11 +468,21 @@ class BCI(nn.Module):
         # configs/trainer_bci.yaml:52 load_ndt1_from_pt).
         enc_pt = self.config["ndt1"]["encoder"].get("from_pt")
         if enc_pt:
-            from llm_bci_tpu.utils.serialization import load_params
-
-            params["ndt1_encoder"] = load_params(
-                os.path.join(enc_pt, "encoder.msgpack"), params["ndt1_encoder"]
+            from llm_bci_tpu.interop.torch_import import (
+                is_torch_checkpoint,
+                ndt1_encoder_params_from_torch,
             )
+
+            if is_torch_checkpoint(enc_pt):
+                params["ndt1_encoder"] = ndt1_encoder_params_from_torch(
+                    enc_pt, params["ndt1_encoder"]
+                )
+            else:
+                from llm_bci_tpu.utils.serialization import load_params
+
+                params["ndt1_encoder"] = load_params(
+                    os.path.join(enc_pt, "encoder.msgpack"), params["ndt1_encoder"]
+                )
         # Real Llama weights from an HF checkpoint directory.
         llm_path = self.config.get("llm_path")
         if llm_path and os.path.exists(os.path.join(llm_path, "config.json")):

@@ -202,11 +202,15 @@ class iTransformer(nn.Module):
     @classmethod
     def from_config(cls, model_config, **method_kwargs) -> "iTransformer":
         cfg = update_config(resolve_path(DEFAULT_CONFIG), model_config)
+        from llm_bci_tpu.interop.torch_import import load_saved_component_config
+
         for comp in ("encoder", "decoder"):
             pt = cfg[comp].get("from_pt")
             if pt:
-                saved = yaml.safe_load(open(os.path.join(pt, f"{comp}_config.yaml")))
-                cfg[comp] = update_config(cfg[comp], saved)
+                # ours (yaml) or a reference torch checkpoint's *_config.pth
+                saved = load_saved_component_config(pt, comp)
+                if saved is not None:
+                    cfg[comp] = update_config(cfg[comp], saved)
                 cfg[comp]["from_pt"] = pt
         if method_kwargs.get("compute_dtype") and "compute_dtype" not in cfg["encoder"]:
             cfg["encoder"]["compute_dtype"] = method_kwargs["compute_dtype"]
@@ -384,6 +388,12 @@ class iTransformer(nn.Module):
         from llm_bci_tpu.utils.serialization import load_params
 
         params = unfreeze(params)
+        from llm_bci_tpu.interop.torch_import import is_torch_checkpoint
+
+        if is_torch_checkpoint(load_dir):
+            from llm_bci_tpu.interop.torch_import import itransformer_params_from_torch
+
+            return itransformer_params_from_torch(load_dir, params)
         enc_path = os.path.join(load_dir, "encoder.msgpack")
         if os.path.exists(enc_path):
             params["encoder"] = load_params(enc_path, params["encoder"])
@@ -395,20 +405,38 @@ class iTransformer(nn.Module):
         return params
 
     def warm_start_params(self, params: Dict) -> Dict:
+        from llm_bci_tpu.interop.torch_import import (
+            is_torch_checkpoint,
+            itransformer_params_from_torch,
+        )
+
         enc_pt = self.config["encoder"].get("from_pt")
         if enc_pt:
-            from llm_bci_tpu.utils.serialization import load_params
-
             params = unfreeze(params)
-            params["encoder"] = load_params(
-                os.path.join(enc_pt, "encoder.msgpack"), params["encoder"]
-            )
+            if is_torch_checkpoint(enc_pt):
+                params = itransformer_params_from_torch(
+                    enc_pt, params, components=("encoder",)
+                )
+            else:
+                from llm_bci_tpu.utils.serialization import load_params
+
+                params["encoder"] = load_params(
+                    os.path.join(enc_pt, "encoder.msgpack"), params["encoder"]
+                )
         dec_pt = self.config["decoder"].get("from_pt")
         if dec_pt:
-            from llm_bci_tpu.utils.serialization import load_params
-
             params = unfreeze(params)
-            dec = {k: v for k, v in params.items() if k != "encoder"}
-            dec = load_params(os.path.join(dec_pt, "decoder.msgpack"), dec)
-            params.update(dec)
+            if is_torch_checkpoint(dec_pt) or (
+                os.path.isfile(os.path.join(dec_pt, "decoder.bin"))
+                and not os.path.isfile(os.path.join(dec_pt, "decoder.msgpack"))
+            ):
+                params = itransformer_params_from_torch(
+                    dec_pt, params, components=("decoder",)
+                )
+            else:
+                from llm_bci_tpu.utils.serialization import load_params
+
+                dec = {k: v for k, v in params.items() if k != "encoder"}
+                dec = load_params(os.path.join(dec_pt, "decoder.msgpack"), dec)
+                params.update(dec)
         return params

@@ -759,8 +759,12 @@ class NDT1(nn.Module):
         cfg = update_config(resolve_path(DEFAULT_CONFIG), model_config)
         enc_pt = cfg["encoder"].get("from_pt")
         if enc_pt:
-            saved = yaml.safe_load(open(os.path.join(enc_pt, "encoder_config.yaml")))
-            cfg["encoder"] = update_config(cfg["encoder"], saved)
+            from llm_bci_tpu.interop.torch_import import load_saved_component_config
+
+            # ours (yaml) or a reference torch checkpoint's encoder_config.pth
+            saved = load_saved_component_config(enc_pt, "encoder")
+            if saved is not None:
+                cfg["encoder"] = update_config(cfg["encoder"], saved)
             cfg["encoder"]["from_pt"] = enc_pt
         if "compute_dtype" in method_kwargs and "compute_dtype" not in cfg["encoder"]:
             cfg["encoder"]["compute_dtype"] = method_kwargs["compute_dtype"]
@@ -994,6 +998,15 @@ class NDT1(nn.Module):
         from llm_bci_tpu.utils.serialization import load_params
 
         params = unfreeze(params)
+        from llm_bci_tpu.interop.torch_import import is_torch_checkpoint
+
+        if is_torch_checkpoint(load_dir):
+            # Migration path: ``from_pt`` pointed at a checkpoint saved by
+            # the PyTorch reference (encoder.bin/decoder.bin,
+            # reference models/ndt1.py:685-692) — import it in place.
+            from llm_bci_tpu.interop.torch_import import ndt1_params_from_torch
+
+            return ndt1_params_from_torch(load_dir, params)
         params["encoder"] = load_params(
             os.path.join(load_dir, "encoder.msgpack"), params["encoder"]
         )

@@ -315,11 +315,16 @@ class PatchTSTForSpikingActivity(nn.Module):
     @classmethod
     def from_config(cls, model_config, **method_kwargs) -> "PatchTSTForSpikingActivity":
         cfg = update_config(resolve_path(DEFAULT_CONFIG), model_config)
+        from llm_bci_tpu.interop.torch_import import load_saved_component_config
+
         for comp in ("encoder", "decoder"):
             pt = cfg[comp].get("from_pt")
             if pt:
-                saved = yaml.safe_load(open(os.path.join(pt, f"{comp}_config.yaml")))
-                cfg[comp] = update_config(cfg[comp], saved)
+                # ours (yaml) or the reference's torch-pickled config (which
+                # PatchTST names *.yaml, reference models/patchtst.py:260-262)
+                saved = load_saved_component_config(pt, comp)
+                if saved is not None:
+                    cfg[comp] = update_config(cfg[comp], saved)
                 cfg[comp]["from_pt"] = pt
         if method_kwargs.get("compute_dtype") and "compute_dtype" not in cfg["encoder"]:
             cfg["encoder"]["compute_dtype"] = method_kwargs["compute_dtype"]
@@ -425,6 +430,14 @@ class PatchTSTForSpikingActivity(nn.Module):
         from llm_bci_tpu.utils.serialization import load_params
 
         params = unfreeze(params)
+        from llm_bci_tpu.interop.torch_import import is_torch_checkpoint
+
+        if is_torch_checkpoint(load_dir):
+            # params-only call site: BatchNorm running stats are dropped
+            # (warned); the trainer's warm_start_variables path keeps them.
+            from llm_bci_tpu.interop.torch_import import patchtst_variables_from_torch
+
+            return patchtst_variables_from_torch(load_dir, {"params": params})["params"]
         for comp in ("encoder", "decoder"):
             path = os.path.join(load_dir, f"{comp}.msgpack")
             if os.path.exists(path):
@@ -442,3 +455,40 @@ class PatchTSTForSpikingActivity(nn.Module):
                 if os.path.exists(path):
                     params[comp] = load_params(path, params[comp])
         return params
+
+    def warm_start_variables(self, variables: Dict) -> Dict:
+        """``from_pt`` warm start over full variables (params AND
+        batch_stats) — the trainer prefers this hook when present so
+        reference torch checkpoints restore their BatchNorm running stats
+        (they live inside ``encoder.bin``)."""
+        from llm_bci_tpu.interop.torch_import import (
+            is_torch_checkpoint,
+            patchtst_variables_from_torch,
+        )
+
+        if not any(self.config[c].get("from_pt") for c in ("encoder", "decoder")):
+            return variables  # identity return == nothing to load
+        variables = dict(variables)
+        variables["params"] = unfreeze(variables["params"])
+        for comp in ("encoder", "decoder"):
+            pt = self.config[comp].get("from_pt")
+            if not pt:
+                continue
+            torch_fmt = is_torch_checkpoint(pt) or (
+                comp == "decoder"
+                and os.path.isfile(os.path.join(pt, "decoder.bin"))
+                and not os.path.isfile(os.path.join(pt, "decoder.msgpack"))
+            )
+            if torch_fmt:
+                variables = patchtst_variables_from_torch(
+                    pt, variables, components=(comp,)
+                )
+            else:
+                from llm_bci_tpu.utils.serialization import load_params
+
+                path = os.path.join(pt, f"{comp}.msgpack")
+                if os.path.exists(path):
+                    variables["params"][comp] = load_params(
+                        path, variables["params"][comp]
+                    )
+        return variables

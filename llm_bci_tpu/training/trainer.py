@@ -410,7 +410,9 @@ class Trainer:
         # Multi-process: FSDP-sharded params span non-addressable devices, so
         # a plain device_get/device_put raises — all-gather to a replicated
         # layout first, and re-place shards via make_array_from_callback.
-        if hasattr(self.model, "warm_start_params"):
+        if hasattr(self.model, "warm_start_params") or hasattr(
+            self.model, "warm_start_variables"
+        ):
             if jax.process_count() > 1:
                 # Leaf-by-leaf: gathering the WHOLE tree at once would
                 # materialize a fully replicated copy of the model on every
@@ -424,12 +426,38 @@ class Trainer:
                 )
             else:
                 host = jax.device_get(params)
-            warm = self.model.warm_start_params(host)
-            if warm is not host:  # identity return == nothing to load
-                warm = jax.tree_util.tree_map(
-                    lambda w, p: np.asarray(w).astype(p.dtype), warm, params
-                )
-                params = self._put_host_tree(warm, self.param_shardings)
+            if hasattr(self.model, "warm_start_variables"):
+                # Models whose warm start also restores mutable collections
+                # (PatchTST BatchNorm running stats live inside reference
+                # torch checkpoints) implement this richer hook.
+                host_vars = {"params": host, **jax.device_get(extra_vars)}
+                warm_vars = self.model.warm_start_variables(host_vars)
+                if warm_vars is not host_vars:
+                    warm = jax.tree_util.tree_map(
+                        lambda w, p: np.asarray(w).astype(p.dtype),
+                        warm_vars["params"],
+                        params,
+                    )
+                    params = self._put_host_tree(warm, self.param_shardings)
+                    new_extra = {
+                        k: v for k, v in warm_vars.items() if k != "params"
+                    }
+                    new_extra = jax.tree_util.tree_map(
+                        lambda w, p: np.asarray(w).astype(p.dtype),
+                        new_extra,
+                        extra_vars,
+                    )
+                    extra_vars = self._put_host_tree(
+                        new_extra,
+                        jax.tree_util.tree_map(lambda p: p.sharding, extra_vars),
+                    )
+            else:
+                warm = self.model.warm_start_params(host)
+                if warm is not host:  # identity return == nothing to load
+                    warm = jax.tree_util.tree_map(
+                        lambda w, p: np.asarray(w).astype(p.dtype), warm, params
+                    )
+                    params = self._put_host_tree(warm, self.param_shardings)
 
         # Optimizer-state shardings must be explicit: with out_shardings=None
         # GSPMD replicates tx.init outputs, silently dropping the ZeRO-1/2
