@@ -23,7 +23,6 @@ import os
 import pickle
 
 import numpy as np
-import yaml
 
 from llm_bci_tpu.config import DictConfig, ParseKwargs, config_from_kwargs, update_config
 from llm_bci_tpu.data.speechbci import create_llm_labels, load_competition_data
@@ -40,7 +39,15 @@ def main(args):
     savestring = kwargs.get("savestring", "test_decoding")
     test_len = kwargs.get("test_len")
 
-    config = DictConfig(yaml.safe_load(open(os.path.join(from_pt, "trainer_config.yaml"))))
+    # ours (trainer_config.yaml) or a reference checkpoint's torch-pickled
+    # trainer_config.pth (reference models/trainer.py:412) — migrated
+    # checkpoints evaluate directly (override stale paths with -k).
+    from llm_bci_tpu.interop import load_saved_component_config
+
+    saved_cfg = load_saved_component_config(from_pt, "trainer")
+    if saved_cfg is None:
+        raise SystemExit(f"{from_pt}: no trainer_config.yaml/.pth found")
+    config = DictConfig(saved_cfg)
     config["model"]["from_pt"] = from_pt
     config["training"]["test_batch_size"] = 1
     config["data"]["test_len"] = test_len

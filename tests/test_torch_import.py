@@ -197,6 +197,29 @@ def test_ndt1_torch_import_rejects_wrong_architecture(tmp_path):
         model.load_checkpoint_params(ckpt, params)
 
 
+def test_load_saved_component_config_formats(tmp_path):
+    """The saved-config loader reads ours (yaml), the reference's
+    torch-pickled .pth (models/trainer.py:412), and the reference
+    PatchTST's torch pickle wearing a .yaml name (models/patchtst.py:260)."""
+    import yaml
+
+    from llm_bci_tpu.interop import load_saved_component_config
+
+    d1 = tmp_path / "ours"; d1.mkdir()
+    yaml.safe_dump({"a": 1}, open(d1 / "trainer_config.yaml", "w"))
+    assert load_saved_component_config(str(d1), "trainer") == {"a": 1}
+
+    d2 = tmp_path / "ref"; d2.mkdir()
+    torch.save({"b": {"c": 2}}, str(d2 / "trainer_config.pth"))
+    assert load_saved_component_config(str(d2), "trainer") == {"b": {"c": 2}}
+
+    d3 = tmp_path / "ptst"; d3.mkdir()
+    torch.save({"d": 3}, str(d3 / "encoder_config.yaml"))  # torch zip, .yaml name
+    assert load_saved_component_config(str(d3), "encoder") == {"d": 3}
+
+    assert load_saved_component_config(str(tmp_path), "missing") is None
+
+
 # -------------------------------------------------------- iTransformer ----
 
 
