@@ -907,13 +907,16 @@ class Trainer:
             except ValueError:  # not the main thread: flag-only API remains
                 prev_term_handler = _NO_HANDLER
 
-        # One-step-lag metric readback: metric fns (and the per-step loss
-        # scalar) sync device→host, so running them on step t's outputs
-        # would fence the hot loop. Instead they run on step t−1's outputs
-        # while step t executes on device — the readback cost hides under
-        # compute. Values and their step labels are unchanged, only WHEN
-        # they are read moves. `pending` is drained before every averaging /
-        # reset boundary so nothing is dropped or double-counted.
+        # Lagged metric readback: metric fns (and the per-step loss scalar)
+        # sync device→host, so running them on step t's outputs would fence
+        # the hot loop. Instead entries accumulate for up to
+        # ``training.metric_lag`` steps and drain in ONE batched
+        # ``jax.device_get`` — on a remote-attached device each host fetch
+        # is a full network round trip, so K entries per fetch amortize it
+        # K×, and ``copy_to_host_async`` at append time starts the transfer
+        # while later steps run. Values and their step labels are unchanged,
+        # only WHEN they are read moves. ``pending`` is drained before every
+        # averaging / reset boundary so nothing is dropped or double-counted.
         #
         # Device-FIFO subtlety: device work a metric fn dispatches at drain
         # time (e.g. an argmax on the logits) queues BEHIND the in-flight
@@ -921,30 +924,53 @@ class Trainer:
         # ``fn.prepare(outputs) -> device_value``: called immediately after
         # the step dispatch (so its device work runs right after that step),
         # with the result handed back at drain time as ``prepared=...`` —
-        # by then it is a ready buffer and np.asarray is a pure transfer.
+        # by then it is a fetched host buffer and np.asarray is free.
         pending: list = []
+        metric_lag = max(1, int(config.training.get("metric_lag", 4) or 1))
 
         def make_prepared(outputs):
-            return {
+            prepared = {
                 name: fn.prepare(outputs)
                 for name, fn in self.metric_fns.items()
                 if hasattr(fn, "prepare")
             }
+            # Start the device→host transfers now; the batched drain a few
+            # steps later finds them complete (or at least in flight).
+            for leaf in jax.tree_util.tree_leaves(
+                (prepared, outputs["loss"], outputs["n_examples"])
+            ):
+                try:
+                    leaf.copy_to_host_async()
+                except AttributeError:
+                    pass
+            return prepared
 
         def drain(entries):
-            for p in entries or []:
-                p_step, p_inputs, p_unused, p_outputs, p_prepared = p
-                if self.writer is not None:
-                    loss_v = float(np.asarray(p_outputs["loss"]))
-                    n_v = float(np.asarray(p_outputs["n_examples"]))
+            if not entries:
+                return
+            # One transfer for everything this drain reads from the device.
+            want_loss = self.writer is not None
+            fetched = jax.device_get(
+                [
+                    (
+                        (out["loss"], out["n_examples"]) if want_loss else None,
+                        prep,
+                    )
+                    for (_s, _mi, _ui, out, prep) in entries
+                ]
+            )
+            for p, (scalars, prep_host) in zip(entries, fetched):
+                p_step, p_inputs, p_unused, p_outputs, _ = p
+                if want_loss:
+                    loss_v, n_v = float(scalars[0]), float(scalars[1])
                     self.writer.add_scalar(
                         "Loss/train_iter", loss_v / n_v if n_v > 0 else 0.0, p_step
                     )
                 for name, fn in self.metric_fns.items():
                     # Device arrays, not host copies — see evaluate().
                     kwargs = dict(self.metric_kwargs)
-                    if name in p_prepared:
-                        kwargs["prepared"] = p_prepared[name]
+                    if name in prep_host:
+                        kwargs["prepared"] = prep_host[name]
                     val = float(
                         fn(
                             self.model_handle,
@@ -1041,13 +1067,13 @@ class Trainer:
                 pending = []
                 test_avg_loss, test_avg_metrics = self.evaluate(self.eval_metric_fns)
                 # Entries are scalars (single steps) or (K,) vectors
-                # (chained calls) — reduce each before totalling.
-                total_examples = float(
-                    sum(float(np.sum(np.asarray(x))) for x in train_examples)
-                )
+                # (chained calls) — reduce each before totalling. One
+                # batched fetch: per-entry np.asarray would round-trip the
+                # device relay once per accumulated step.
+                loss_host, ex_host = jax.device_get((train_loss, train_examples))
+                total_examples = float(sum(float(np.sum(x)) for x in ex_host))
                 train_avg_loss = (
-                    sum(float(np.sum(np.asarray(x))) for x in train_loss)
-                    / total_examples
+                    sum(float(np.sum(x)) for x in loss_host) / total_examples
                     if total_examples > 0
                     else 0.0
                 )
@@ -1170,8 +1196,12 @@ class Trainer:
                         window_samples += sum(
                             next(iter(it[0].values())).shape[0] for it in group
                         )
-                        drain(pending)
-                        pending = []
+                        # Flush older entries BEFORE appending this chain's:
+                        # draining a just-appended entry would block on the
+                        # chained program that was dispatched above.
+                        if len(pending) + len(group) > metric_lag:
+                            drain(pending)
+                            pending = []
                         for j, (_db, mi, ui) in enumerate(group):
                             # None output fields (e.g. CTC/BCI leave mask unset)
                             # pass through lax.scan unstacked.
@@ -1221,9 +1251,10 @@ class Trainer:
                     train_loss.append(outputs["loss"])
                     train_examples.append(outputs["n_examples"])
 
-                    # Read back step t−1's metrics while step t runs on device.
-                    drain(pending)
-                    pending = [
+                    # Metrics read back lagged: entries age ≥1 step before
+                    # they drain, and drains batch metric_lag entries into
+                    # one device fetch.
+                    pending.append(
                         (
                             global_step,
                             model_inputs,
@@ -1231,7 +1262,10 @@ class Trainer:
                             outputs,
                             make_prepared(outputs),
                         )
-                    ]
+                    )
+                    if len(pending) > metric_lag:
+                        drain(pending[:-1])
+                        del pending[:-1]
 
                     if after_step(global_step):
                         return

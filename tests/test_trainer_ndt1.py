@@ -427,6 +427,41 @@ def test_lagged_metric_prepare_protocol(tmp_path):
     assert calls["mismatch"] == 0    # lagged value matches direct compute
 
 
+def test_metric_lag_depth_preserves_values(tmp_path):
+    """training.metric_lag batches metric readbacks (one device fetch per
+    batch); depth must not change the VALUES or their order — only when
+    they are read. Includes an eval boundary mid-run so the flush path is
+    exercised."""
+    from llm_bci_tpu.training import Trainer
+
+    def run(lag):
+        cfg = base_config(tmp_path / f"lag{lag}")
+        cfg["training"]["num_epochs"] = 4       # 2 steps/epoch at B=8, n=16
+        cfg["training"]["max_steps"] = 7
+        cfg["training"]["eval_every"] = 3
+        cfg["training"]["metric_lag"] = lag
+        seen = []
+
+        def rate(model, mi, ui, outputs, **kw):
+            prepared = kw.get("prepared")
+            seen.append(
+                float(np.asarray(prepared))
+                if prepared is not None
+                else float(np.asarray(outputs["loss"]))
+            )
+            return seen[-1]
+
+        rate.prepare = lambda outputs: outputs["loss"]
+        t = Trainer(cfg, dataset=synth_dataset(), metric_fns={"rate": rate})
+        t.train()
+        return seen
+
+    seen1 = run(1)
+    seen8 = run(8)
+    assert len(seen1) == len(seen8) and len(seen1) >= 7
+    np.testing.assert_allclose(np.asarray(seen1), np.asarray(seen8), rtol=1e-5)
+
+
 def test_chain_steps_matches_single_step_training(tmp_path):
     """training.chain_steps=2 (K steps per lax.scan program) must reproduce
     the single-step path exactly: same RNG threading, same per-step
@@ -541,6 +576,11 @@ def test_sigterm_saves_full_state_mid_train(tmp_path):
     cfg = base_config(tmp_path)
     cfg["training"]["max_steps"] = 50
     cfg["training"]["save_every"] = None
+    # The metric fn is the injection hook: drain it every step so the
+    # SIGTERM lands mid-train (with a deeper metric_lag the first drain
+    # would fall after the loop's last boundary and nothing would save —
+    # real SIGTERMs arrive asynchronously and don't depend on drains).
+    cfg["training"]["metric_lag"] = 1
 
     fired = []
 
