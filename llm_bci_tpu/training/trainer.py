@@ -803,32 +803,74 @@ class Trainer:
         test_loss, test_examples = [], []
         test_metrics = {name: [] for name in metric_fns}
 
+        # Same lagged batched readback as the train loop (see train()): a
+        # metric fn that syncs would otherwise fence the eval pipeline once
+        # per batch, and each fetch is a full round trip on remote-attached
+        # devices. Entries age up to ``training.metric_lag`` batches, their
+        # ``fn.prepare`` reductions are dispatched right behind the eval
+        # step and fetched in one batched ``jax.device_get`` at drain time.
+        # Per-batch metric VALUES and their order are unchanged.
+        lag = max(1, int(self.config.training.get("metric_lag", 4) or 1))
+        pending: list = []
+
+        def drain(entries):
+            if not entries:
+                return
+            fetched = jax.device_get([prep for (_mi, _ui, _out, prep) in entries])
+            for (mi, ui, out, _), prep_host in zip(entries, fetched):
+                for name, fn in metric_fns.items():
+                    # Metric fns receive the outputs dict with DEVICE arrays
+                    # (the reference hands CUDA tensors the same way): a fn
+                    # converts only what it needs — e.g. a device-side argmax
+                    # then one small np.asarray — instead of the trainer
+                    # shipping every output (incl. full (B, T, V) logits) to
+                    # host per step.
+                    kwargs = dict(self.metric_kwargs)
+                    if name in prep_host:
+                        kwargs["prepared"] = prep_host[name]
+                    test_metrics[name].append(
+                        float(
+                            fn(
+                                self.model_handle,
+                                mi,
+                                ui,
+                                out,
+                                **kwargs,
+                            )
+                        )
+                    )
+
         dataloader = self.train_dataloader if eval_train_set else self.test_dataloader
         for dev_batch, model_inputs, unused_inputs in self._prefetch(dataloader):
             step_rng, self.rng = jax.random.split(self.rng)
             outputs = self._eval_step(self.state, dev_batch, step_rng)
             test_loss.append(outputs["loss"])
             test_examples.append(outputs["n_examples"])
-            for name, fn in metric_fns.items():
-                # Metric fns receive the outputs dict with DEVICE arrays (the
-                # reference hands CUDA tensors the same way): a fn converts
-                # only what it needs — e.g. a device-side argmax then one
-                # small np.asarray — instead of the trainer shipping every
-                # output (incl. full (B, T, V) logits) to host per step.
-                test_metrics[name].append(
-                    float(
-                        fn(
-                            self.model_handle,
-                            model_inputs,
-                            unused_inputs,
-                            outputs,
-                            **self.metric_kwargs,
-                        )
-                    )
-                )
+            if not metric_fns:
+                continue
+            prepared = {
+                name: fn.prepare(outputs)
+                for name, fn in metric_fns.items()
+                if hasattr(fn, "prepare")
+            }
+            for leaf in jax.tree_util.tree_leaves(
+                (prepared, outputs["loss"], outputs["n_examples"])
+            ):
+                try:
+                    leaf.copy_to_host_async()
+                except AttributeError:
+                    pass
+            pending.append((model_inputs, unused_inputs, outputs, prepared))
+            if len(pending) > lag:
+                drain(pending[:-1])
+                del pending[:-1]
+        drain(pending)
 
-        total_examples = float(np.sum([np.asarray(x) for x in test_examples]))
-        total_loss = float(np.sum([np.asarray(x) for x in test_loss]))
+        # One batched fetch for the loss/example sums (vs one round trip
+        # per eval batch).
+        loss_host, ex_host = jax.device_get((test_loss, test_examples))
+        total_examples = float(np.sum([np.asarray(x) for x in ex_host]))
+        total_loss = float(np.sum([np.asarray(x) for x in loss_host]))
         test_avg_loss = total_loss / total_examples if total_examples > 0 else 0.0
         test_avg_metrics = {
             k: (sum(v) / len(v) if v else 0.0) for k, v in test_metrics.items()

@@ -462,6 +462,40 @@ def test_metric_lag_depth_preserves_values(tmp_path):
     np.testing.assert_allclose(np.asarray(seen1), np.asarray(seen8), rtol=1e-5)
 
 
+def test_evaluate_metric_lag_and_prepare(tmp_path):
+    """evaluate() drains metric fns lagged + batched like the train loop:
+    per-batch values and order are depth-independent, and ``fn.prepare``
+    results arrive as fetched host values."""
+    from llm_bci_tpu.training import Trainer
+
+    def run(lag):
+        cfg = base_config(tmp_path / f"evlag{lag}")
+        cfg["training"]["metric_lag"] = lag
+        cfg["training"]["test_batch_size"] = 2   # several eval batches
+        seen = []
+
+        def m(model, mi, ui, outputs, **kw):
+            prepared = kw.get("prepared")
+            assert prepared is not None
+            # drained prepared values are host buffers, not device arrays
+            assert not hasattr(prepared, "copy_to_host_async")
+            seen.append(float(np.asarray(prepared)))
+            return seen[-1]
+
+        # per-batch-varying reduction (eval loss is 0 with inactive maskers)
+        m.prepare = lambda outputs: outputs["preds"].sum()
+        trainer = Trainer(cfg, dataset=synth_dataset())
+        avg_loss, avg_metrics = trainer.evaluate({"m": m})
+        return seen, avg_loss, avg_metrics["m"]
+
+    seen1, loss1, avg1 = run(1)
+    seen8, loss8, avg8 = run(8)
+    assert len(seen1) == len(seen8) >= 2
+    np.testing.assert_allclose(np.asarray(seen1), np.asarray(seen8), rtol=1e-5)
+    np.testing.assert_allclose(loss1, loss8, rtol=1e-5)
+    np.testing.assert_allclose(avg1, avg8, rtol=1e-5)
+
+
 def test_chain_steps_matches_single_step_training(tmp_path):
     """training.chain_steps=2 (K steps per lax.scan program) must reproduce
     the single-step path exactly: same RNG threading, same per-step
