@@ -13,27 +13,63 @@ from typing import Any, Optional
 import jax
 
 
+# One CheckpointManager per directory, kept alive so async saves can
+# drain in the background across save_every boundaries.
+_MANAGERS: dict = {}
+
+
 def _manager(directory: str):
     import orbax.checkpoint as ocp
 
-    return ocp.CheckpointManager(
-        os.path.abspath(directory),
-        options=ocp.CheckpointManagerOptions(max_to_keep=3, create=True),
-    )
+    d = os.path.abspath(directory)
+    mgr = _MANAGERS.get(d)
+    if mgr is None:
+        mgr = ocp.CheckpointManager(
+            d,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=3, create=True, enable_async_checkpointing=True
+            ),
+        )
+        _MANAGERS[d] = mgr
+    return mgr
 
 
-def save_train_state(directory: str, step: int, state: Any) -> None:
+def save_train_state(
+    directory: str, step: int, state: Any, wait: bool = False
+) -> None:
+    """Checkpoint the full train state at ``step``.
+
+    Async by default: Orbax copies the arrays to host memory synchronously
+    (safe against the next donated train step reusing the buffers) and
+    serializes to disk in a background thread — the train loop resumes
+    while the write drains. ``wait=True`` (or ``wait_for_saves``) blocks
+    until every pending write is committed; callers MUST wait before the
+    process exits or before reading the checkpoint back.
+    """
     import orbax.checkpoint as ocp
 
     mgr = _manager(directory)
-    if jax.process_count() > 1:
-        # Multi-process: hand Orbax the (possibly non-addressable) sharded
-        # arrays directly — it coordinates per-host shard writes. A
-        # device_get here would raise on non-addressable shardings.
-        mgr.save(step, args=ocp.args.StandardSave(state))
-    else:
-        mgr.save(step, args=ocp.args.StandardSave(jax.device_get(state)))
-    mgr.wait_until_finished()
+    # Hand Orbax the live (possibly sharded, possibly non-addressable)
+    # arrays: it coordinates per-host shard writes in multi-process runs
+    # and snapshots to host before returning in all cases. An explicit
+    # jax.device_get here would serialize the whole transfer on the
+    # calling thread AND break non-addressable shardings.
+    mgr.save(step, args=ocp.args.StandardSave(state))
+    if wait:
+        mgr.wait_until_finished()
+
+
+def wait_for_saves(directory: Optional[str] = None) -> None:
+    """Block until pending async checkpoint writes are committed — for the
+    given directory, or every directory this process has saved to."""
+    if directory is not None:
+        d = os.path.abspath(directory)
+        mgr = _MANAGERS.get(d)
+        if mgr is not None:
+            mgr.wait_until_finished()
+        return
+    for mgr in _MANAGERS.values():
+        mgr.wait_until_finished()
 
 
 def _overlay(target: Any, restored: Any) -> Any:
@@ -140,6 +176,7 @@ def restore_train_state(directory: str, target: Any, step: Optional[int] = None)
     import orbax.checkpoint as ocp
 
     mgr = _manager(directory)
+    mgr.wait_until_finished()  # a save from this process may still be in flight
     step = mgr.latest_step() if step is None else step
     if step is None:
         raise FileNotFoundError(f"No checkpoints in {directory}")

@@ -969,6 +969,11 @@ class Trainer:
         # by then it is a fetched host buffer and np.asarray is free.
         pending: list = []
         metric_lag = max(1, int(config.training.get("metric_lag", 4) or 1))
+        # With nothing to drain (no metric fns, no writer) skip tracking
+        # entirely: each pending entry pins the step's whole outputs pytree
+        # on device, and metric_lag of them is real memory for big-vocab
+        # heads (a (B, T, 32k-vocab) logits tensor per entry).
+        track_metrics = bool(self.metric_fns) or self.writer is not None
 
         def make_prepared(outputs):
             prepared = {
@@ -1090,7 +1095,9 @@ class Trainer:
                 )
                 drain(pending)
                 pending = []
-                self.save_checkpoint(f"STEP{true_step}")
+                # wait=True: the process is about to exit on SIGTERM — the
+                # checkpoint must be committed before the grace period ends.
+                self.save_checkpoint(f"STEP{true_step}", wait=True)
                 if self.writer is not None:
                     self.writer.flush()
                 self._preempt_flag = False  # a later train() starts clean
@@ -1177,7 +1184,9 @@ class Trainer:
                 config.training.save_every
                 and g % config.training.save_every == 0
             ):
-                self.save_checkpoint(f"STEP{g}")
+                # Async: the Orbax write drains while training continues;
+                # every train() exit path waits (finally below).
+                self.save_checkpoint(f"STEP{g}", wait=False)
 
             if g >= total_budget:
                 self.print_v(
@@ -1245,6 +1254,8 @@ class Trainer:
                             drain(pending)
                             pending = []
                         for j, (_db, mi, ui) in enumerate(group):
+                            if not track_metrics:
+                                break
                             # None output fields (e.g. CTC/BCI leave mask unset)
                             # pass through lax.scan unstacked.
                             outputs_j = {
@@ -1296,18 +1307,19 @@ class Trainer:
                     # Metrics read back lagged: entries age ≥1 step before
                     # they drain, and drains batch metric_lag entries into
                     # one device fetch.
-                    pending.append(
-                        (
-                            global_step,
-                            model_inputs,
-                            unused_inputs,
-                            outputs,
-                            make_prepared(outputs),
+                    if track_metrics:
+                        pending.append(
+                            (
+                                global_step,
+                                model_inputs,
+                                unused_inputs,
+                                outputs,
+                                make_prepared(outputs),
+                            )
                         )
-                    )
-                    if len(pending) > metric_lag:
-                        drain(pending[:-1])
-                        del pending[:-1]
+                        if len(pending) > metric_lag:
+                            drain(pending[:-1])
+                            del pending[:-1]
 
                     if after_step(global_step):
                         return
@@ -1323,6 +1335,12 @@ class Trainer:
         try:
             run_epochs()
         finally:
+            # Commit any in-flight async checkpoint writes before handing
+            # control back — callers (and tests) may read STEP dirs or
+            # restore immediately after train() returns.
+            from llm_bci_tpu.training.checkpoint import wait_for_saves
+
+            wait_for_saves(os.path.join(self.checkpoint_dir, "train_state"))
             if prev_term_handler is not _NO_HANDLER:
                 import signal as _signal
 
@@ -1346,9 +1364,14 @@ class Trainer:
 
     # ----------------------------------------------------------- checkpoint
 
-    def save_checkpoint(self, tag: str) -> None:
+    def save_checkpoint(self, tag: str, wait: bool = True) -> None:
         """Component blobs + trainer config (reference layout,
-        ``models/trainer.py:405-413``) plus a full Orbax train state."""
+        ``models/trainer.py:405-413``) plus a full Orbax train state.
+
+        ``wait=False`` (the train loop's mode) lets the Orbax write drain
+        in the background — Orbax snapshots the arrays to host before
+        returning, so the next donated step can't corrupt the checkpoint;
+        train() waits for pending writes on every exit path."""
         save_to_path = os.path.join(self.checkpoint_dir, tag)
         if self.is_main_process:
             os.makedirs(save_to_path, exist_ok=True)
@@ -1378,6 +1401,7 @@ class Trainer:
             os.path.join(self.checkpoint_dir, "train_state"),
             int(np.asarray(self.state.step)),
             self.state,
+            wait=wait,
         )
 
     def resume_from(self, directory: Optional[str] = None) -> int:
