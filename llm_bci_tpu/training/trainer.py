@@ -1376,7 +1376,18 @@ class Trainer:
         if self.is_main_process:
             os.makedirs(save_to_path, exist_ok=True)
         self.print_v(f"Saving checkpoint to {save_to_path}", verbosity=1)
-        if jax.process_count() > 1:
+        if not bool(self.config.training.get("component_blobs", True)):
+            # training.component_blobs=false: the reference-layout msgpack
+            # blobs device_get EVERY param synchronously (a frozen 7B BCI
+            # base is ~13.5 GB per save) — production runs keep only the
+            # Orbax train_state and export blobs once at the end
+            # (torch_export / a final save_checkpoint() call).
+            self.print_v(
+                "component_blobs=false: skipping component msgpack blobs "
+                "(train_state/ carries the full state)",
+                verbosity=2,
+            )
+        elif jax.process_count() > 1:
             # Component msgpack blobs need host copies of every param; with
             # FSDP-sharded params across hosts those aren't addressable.
             # The Orbax train-state below (distributed-safe) is the resume

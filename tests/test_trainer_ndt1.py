@@ -462,6 +462,32 @@ def test_metric_lag_depth_preserves_values(tmp_path):
     np.testing.assert_allclose(np.asarray(seen1), np.asarray(seen8), rtol=1e-5)
 
 
+def test_component_blobs_false_keeps_orbax_only(tmp_path):
+    """training.component_blobs=false skips the reference-layout msgpack
+    blobs at save boundaries (their device_get of every param is the one
+    synchronous piece of an async save) while the Orbax train_state still
+    resumes."""
+    import os
+
+    from llm_bci_tpu.training import Trainer
+
+    cfg = base_config(tmp_path)
+    cfg["training"]["save_every"] = 2
+    cfg["training"]["component_blobs"] = False
+    trainer = Trainer(cfg, dataset=synth_dataset())
+    trainer.train()
+
+    step_dir = tmp_path / "ckpt" / "smoke" / "STEP2"
+    assert os.path.isfile(str(step_dir / "trainer_config.yaml"))
+    assert not os.path.exists(str(step_dir / "encoder.msgpack"))
+
+    trainer2 = Trainer(cfg, dataset=synth_dataset())
+    assert trainer2.resume_from() == 2
+    p1 = np.asarray(next(iter(jax_leaves(trainer.state.params))))
+    p2 = np.asarray(next(iter(jax_leaves(trainer2.state.params))))
+    np.testing.assert_allclose(p1, p2)
+
+
 def test_evaluate_metric_lag_and_prepare(tmp_path):
     """evaluate() drains metric fns lagged + batched like the train loop:
     per-batch values and order are depth-independent, and ``fn.prepare``
