@@ -632,12 +632,17 @@ class NeuralEncoder(nn.Module):
         if not self.flash_possible:
             return False
         from llm_bci_tpu.ops import flash_attention as fa
-        from llm_bci_tpu.ops.spmd import batch_shardable
+        from llm_bci_tpu.ops.spmd import batch_shardable, sequence_sharded
 
         backend_ok = jax.default_backend() == "tpu" or fa._INTERPRET
         if not backend_ok:
             return False
         if B is not None and not batch_shardable(B):
+            return False
+        if sequence_sharded():
+            # sp > 1: activations are time-sharded; the data-axis shard_map
+            # around the kernel would all-gather T per layer. XLA SDPA keeps
+            # the sp layout (GSPMD gathers K/V once per attention instead).
             return False
         if self.flash_mode == "on":
             return True

@@ -9,8 +9,10 @@ The batch-parallel kernels (banded flash attention, Pallas CTC) are instead
 wrapped in ``jax.shard_map`` over the mesh's ``data`` axis: each device runs
 the kernel on its local batch shard — exactly the data-parallel semantics of
 :func:`llm_bci_tpu.parallel.mesh.batch_sharding`. Axes not named in the
-specs (``fsdp``, ``tp``) replicate the computation, matching the activation
-layout.
+specs (``fsdp``, ``sp``, ``tp``) replicate the computation, matching the
+activation layout. (Under ``sp > 1`` time-sharded activations would be
+all-gathered at the shard_map boundary — callers consult
+:func:`sequence_sharded` and prefer their XLA path instead.)
 
 The Trainer assigns the active mesh on every construction
 (:func:`set_op_mesh`; 1-device meshes clear it), so models applied outside
@@ -44,3 +46,14 @@ def batch_shardable(batch: int) -> bool:
     """Whether a batch of this size splits evenly over the active mesh's
     ``data`` axis (callers fall back to their XLA path when it doesn't)."""
     return _MESH is None or batch % _MESH.shape["data"] == 0
+
+
+def sequence_sharded() -> bool:
+    """True when the active mesh has a non-trivial sequence-parallel axis.
+
+    The batch-parallel Pallas kernels assume each device holds FULL
+    sequences for its batch shard; wrapping them in the data-axis
+    ``shard_map`` under ``sp > 1`` would silently all-gather the time dim
+    per call. Callers (NDT1's per-trace flash decision) route to the XLA
+    SDPA path instead, which GSPMD partitions over ``sp`` natively."""
+    return _MESH is not None and _MESH.shape.get("sp", 1) > 1

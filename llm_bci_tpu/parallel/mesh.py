@@ -26,19 +26,24 @@ def make_mesh(
     data: int = -1,
     fsdp: int = 1,
     tp: int = 1,
+    sp: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
-    """Build a (data, fsdp, tp) mesh. ``-1`` takes all remaining devices.
+    """Build a (data, fsdp, sp, tp) mesh. ``-1`` takes all remaining devices.
 
     ``tp`` is the tensor-parallel axis (Megatron-style sharding of the BCI
     LLM's projection matrices — see :func:`tp_llama_rules`); it is the
-    innermost axis so TP collectives ride the fastest ICI links. With
-    ``tp=1`` the mesh behaves exactly like the historical 2D (data, fsdp)
-    mesh: PartitionSpecs never name the trivial axis.
+    innermost axis so TP collectives ride the fastest ICI links. ``sp`` is
+    the sequence-parallel axis: the trainer shards the TIME dimension of the
+    spike tensors over it (see :func:`sequence_sharding`), so long-context
+    NDT1 activations (attention logits, per-bin embeddings) split across
+    chips — GSPMD inserts the K/V all-gathers attention needs. With
+    ``sp=1``/``tp=1`` the mesh behaves exactly like the historical 2D
+    (data, fsdp) mesh: PartitionSpecs never name trivial axes.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
-    sizes = {"data": data, "fsdp": fsdp, "tp": tp}
+    sizes = {"data": data, "fsdp": fsdp, "sp": sp, "tp": tp}
     free = [k for k, v in sizes.items() if v == -1]
     if len(free) > 1:
         raise ValueError("Only one mesh axis may be -1")
@@ -48,12 +53,15 @@ def make_mesh(
             if v != -1:
                 fixed *= v
         sizes[free[0]] = n // fixed
-    if sizes["data"] * sizes["fsdp"] * sizes["tp"] != n:
+    if sizes["data"] * sizes["fsdp"] * sizes["sp"] * sizes["tp"] != n:
         raise ValueError(
-            f"mesh {sizes['data']}x{sizes['fsdp']}x{sizes['tp']} != {n} devices"
+            f"mesh {sizes['data']}x{sizes['fsdp']}x{sizes['sp']}x{sizes['tp']}"
+            f" (data x fsdp x sp x tp) != {n} devices"
         )
-    arr = np.asarray(devices).reshape(sizes["data"], sizes["fsdp"], sizes["tp"])
-    return Mesh(arr, ("data", "fsdp", "tp"))
+    arr = np.asarray(devices).reshape(
+        sizes["data"], sizes["fsdp"], sizes["sp"], sizes["tp"]
+    )
+    return Mesh(arr, ("data", "fsdp", "sp", "tp"))
 
 
 def tp_llama_rules(mesh: Mesh) -> Dict[str, P]:
@@ -90,6 +98,17 @@ def tp_llama_rules(mesh: Mesh) -> Dict[str, P]:
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Batch dim sharded over data axis, replicated over fsdp."""
     return NamedSharding(mesh, P("data"))
+
+
+def sequence_sharding(mesh: Mesh) -> NamedSharding:
+    """(batch, time, ...) arrays: batch over ``data``, time over ``sp``.
+
+    The trainer applies this to the time-axis batch keys
+    (``parallelism.sp_keys``, default the ``spikes*`` tensors) when the mesh
+    has ``sp > 1`` — per-device activation memory and attention-logits work
+    then scale with T/sp, the TPU-native long-context story (SURVEY §5:
+    sequence-sharding the time axis on the mesh)."""
+    return NamedSharding(mesh, P("data", "sp"))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

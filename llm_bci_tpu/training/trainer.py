@@ -156,6 +156,14 @@ class Trainer:
             int(par.get("data", -1)),
             int(par.get("fsdp", 1)),
             int(par.get("tp", 1)),
+            int(par.get("sp", 1)),
+        )
+        # Sequence parallelism: batch keys whose dim 1 is the time axis get
+        # that dim sharded over ``sp`` (parallelism.sp_keys overrides the
+        # spike-tensor default). GSPMD propagates the layout through the
+        # encoder and inserts the attention K/V all-gathers.
+        self._sp_keys = tuple(
+            par.get("sp_keys", ("spikes", "spikes_mask", "spikes_timestamp"))
         )
         # Batch-parallel Pallas kernels (flash attention, CTC) shard_map
         # over this mesh — unwrapped pallas_calls are custom calls GSPMD
@@ -772,16 +780,25 @@ class Trainer:
         full global array raises on non-addressable shardings (the round-2
         multihost gap)."""
         n_data = self.mesh.shape["data"]
+        n_sp = self.mesh.shape["sp"]
         multiproc = jax.process_count() > 1
         out = {}
         for k, v in batch.items():
             if not isinstance(v, np.ndarray):
                 continue
-            sh = (
-                batch_sharding(self.mesh)
-                if v.shape[0] % n_data == 0
-                else replicated(self.mesh)
-            )
+            if v.shape[0] % n_data != 0:
+                sh = replicated(self.mesh)
+            elif (
+                n_sp > 1
+                and k in self._sp_keys
+                and v.ndim >= 2
+                and v.shape[1] % n_sp == 0
+            ):
+                from llm_bci_tpu.parallel.mesh import sequence_sharding
+
+                sh = sequence_sharding(self.mesh)
+            else:
+                sh = batch_sharding(self.mesh)
             if multiproc:
                 out[k] = jax.make_array_from_callback(
                     v.shape, sh, lambda idx, v=v: v[idx]

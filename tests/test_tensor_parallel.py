@@ -127,8 +127,8 @@ def test_mesh_tp_defaults_backward_compatible():
     from llm_bci_tpu.parallel import make_mesh
 
     mesh = make_mesh(-1, 2, 2)
-    assert mesh.shape == {"data": 2, "fsdp": 2, "tp": 2}
+    assert mesh.shape == {"data": 2, "fsdp": 2, "sp": 1, "tp": 2}
     mesh = make_mesh(-1, 1)
-    assert mesh.shape == {"data": 8, "fsdp": 1, "tp": 1}
+    assert mesh.shape == {"data": 8, "fsdp": 1, "sp": 1, "tp": 1}
     with pytest.raises(ValueError):
         make_mesh(3, 3, 1)
