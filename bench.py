@@ -879,14 +879,16 @@ def main_generate7b():
     )
 
 
-def _probe_backend_or_die():
+def _probe_backend_or_die(metric: str = "ndt1_ctc_train_samples_per_sec"):
     """Fail loudly (one JSON error line) instead of hanging forever when the
     TPU relay is down: ``jax.devices()`` blocks in connect with no error in
     that state, which would leave the driver's bench record empty. The probe
     runs in a SUBPROCESS so a hung connect can be killed without poisoning
     this process; a probe killed while the relay is absent does not poison
     the chip lock (only kills mid-*init* with a live relay do). Skip with
-    BENCH_NO_PROBE=1 or when the backend is forced to cpu."""
+    BENCH_NO_PROBE=1 or when the backend is forced to cpu. ``metric`` names
+    the requested workload's headline metric so a relay-down record lands
+    against the right benchmark."""
     if os.environ.get("BENCH_NO_PROBE") == "1":
         return
     if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
@@ -904,7 +906,7 @@ def _probe_backend_or_die():
         print(
             json.dumps(
                 {
-                    "metric": "ndt1_ctc_train_samples_per_sec",
+                    "metric": metric,
                     "value": 0.0,
                     "unit": "samples/s/chip",
                     "vs_baseline": 0.0,
@@ -920,15 +922,19 @@ def _probe_backend_or_die():
 
 
 if __name__ == "__main__":
-    _probe_backend_or_die()
     if "--workload" in sys.argv and "generate7b" in sys.argv:
+        _probe_backend_or_die("bci7b_int8_greedy_tokens_per_sec")
         main_generate7b()
     elif "--workload" in sys.argv and "bci" in sys.argv:
+        _probe_backend_or_die("bci_lora_train_samples_per_sec")
         main_bci()
     elif "--workload" in sys.argv and "generate" in sys.argv:
+        _probe_backend_or_die("bci_greedy_decode_tokens_per_sec")
         main_generate()
     elif "--selftest" in sys.argv:
+        _probe_backend_or_die("kernel_selftest")
         _set_rng_impl()
         print(json.dumps({"metric": "kernel_selftest", "value": kernel_selftest()}))
     else:
+        _probe_backend_or_die()
         main()

@@ -449,8 +449,23 @@ def save_hf_llama(llm_params: Dict, llama_config, save_dir: str) -> None:
     )
     with torch.device("meta"):
         hf = HFLlama(cfg)
-    sd = hf_llama_state_dict(llm_params, llama_config.tie_word_embeddings)
-    hf.load_state_dict(sd, strict=True, assign=True)
+    tie = bool(llama_config.tie_word_embeddings)
+    sd = hf_llama_state_dict(llm_params, tie)
+    if tie:
+        # Tied models expose lm_head.weight in their state dict even though
+        # it is the embedding tensor: a strict load would demand the key,
+        # and assign=True would UNtie the weights if we supplied a copy.
+        # Load everything else, then re-tie the head onto the assigned
+        # embedding table.
+        missing, unexpected = hf.load_state_dict(sd, strict=False, assign=True)
+        if unexpected or set(missing) - {"lm_head.weight"}:
+            raise ValueError(
+                f"save_hf_llama: unexpected={unexpected} "
+                f"missing={sorted(set(missing) - {'lm_head.weight'})}"
+            )
+        hf.tie_weights()
+    else:
+        hf.load_state_dict(sd, strict=True, assign=True)
     hf.save_pretrained(save_dir)
 
 

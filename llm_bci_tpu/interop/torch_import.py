@@ -44,12 +44,14 @@ __all__ = [
 ]
 
 
-def is_torch_checkpoint(load_dir: str) -> bool:
-    """True when ``load_dir`` holds a reference-format torch checkpoint
-    (component ``.bin`` blobs) rather than this framework's msgpack."""
-    return os.path.isfile(os.path.join(load_dir, "encoder.bin")) and not os.path.isfile(
-        os.path.join(load_dir, "encoder.msgpack")
-    )
+def is_torch_checkpoint(load_dir: str, component: str = "encoder") -> bool:
+    """True when ``load_dir`` holds a reference-format torch checkpoint for
+    ``component`` (a ``{component}.bin`` blob) rather than this framework's
+    msgpack. Decoder-only warm starts pass ``component="decoder"`` — the
+    dir may carry just that blob (reference ``models/itransformer.py:403-411``)."""
+    return os.path.isfile(
+        os.path.join(load_dir, f"{component}.bin")
+    ) and not os.path.isfile(os.path.join(load_dir, f"{component}.msgpack"))
 
 
 def _torch_pickled_config(path: str) -> Dict:
@@ -105,6 +107,22 @@ def load_saved_component_config(load_dir: str, component: str) -> Optional[Dict]
     ppath = os.path.join(load_dir, f"{component}_config.pth")
     if os.path.isfile(ppath):
         return _torch_pickled_config(ppath)
+    # Loud, not fatal: a missing saved config is legitimate (the reference
+    # never writes a projector config; training.component_blobs=false STEP
+    # dirs carry only the Orbax state) — but silently building from the
+    # live/default config instead of the trained one is exactly how a
+    # structurally different model loads shape-matching weights without
+    # any error, so the caller's re-merge skip must be visible.
+    import warnings
+
+    warnings.warn(
+        f"from_pt dir {load_dir!r} has no saved '{component}' config "
+        f"({component}_config.yaml/.pth): the {component} config re-merge "
+        "is skipped and the model is built from the live/default config. "
+        "If this dir came from a checkpoint, copy the saved config next to "
+        "the weights (or point from_pt at the full STEP dir).",
+        stacklevel=3,
+    )
     return None
 
 

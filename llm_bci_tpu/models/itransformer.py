@@ -426,9 +426,8 @@ class iTransformer(nn.Module):
         dec_pt = self.config["decoder"].get("from_pt")
         if dec_pt:
             params = unfreeze(params)
-            if is_torch_checkpoint(dec_pt) or (
-                os.path.isfile(os.path.join(dec_pt, "decoder.bin"))
-                and not os.path.isfile(os.path.join(dec_pt, "decoder.msgpack"))
+            if is_torch_checkpoint(dec_pt) or is_torch_checkpoint(
+                dec_pt, "decoder"
             ):
                 params = itransformer_params_from_torch(
                     dec_pt, params, components=("decoder",)

@@ -475,9 +475,7 @@ class PatchTSTForSpikingActivity(nn.Module):
             if not pt:
                 continue
             torch_fmt = is_torch_checkpoint(pt) or (
-                comp == "decoder"
-                and os.path.isfile(os.path.join(pt, "decoder.bin"))
-                and not os.path.isfile(os.path.join(pt, "decoder.msgpack"))
+                comp == "decoder" and is_torch_checkpoint(pt, "decoder")
             )
             if torch_fmt:
                 variables = patchtst_variables_from_torch(

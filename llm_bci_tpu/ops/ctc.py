@@ -65,6 +65,15 @@ def ctc_loss(
             # Multi-device mesh: pallas_call is a custom call GSPMD can't
             # partition — run the kernel per data-shard via shard_map
             # (batch-parallel: one alpha lattice per example).
+            #
+            # Deliberately NOT gated on spmd.sequence_sharded() (unlike the
+            # flash-attention dispatch): the alpha recursion is sequential
+            # over the FULL time axis, so sp>1 time-sharded log_probs must
+            # be gathered under ANY implementation — XLA's scan would
+            # insert the same all-gather. The jit boundary reshards the
+            # small (B, T, V≈41) tensor once and the VMEM kernel keeps its
+            # ~10x win over the scan; sp replicas recompute redundantly
+            # (~0.3 ms at flagship shapes).
             from jax.sharding import PartitionSpec as P
 
             return jax.shard_map(

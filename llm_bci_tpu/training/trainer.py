@@ -86,6 +86,81 @@ class TrainState:
     rng: Any = None
 
 
+class _LaggedMetricReadback:
+    """Lagged, batched device→host metric readback — ONE machinery shared by
+    ``train()`` and ``evaluate()`` (the protocol is documented in PARITY.md).
+
+    ``add(ctx, outputs)`` dispatches every metric fn's ``prepare`` hook right
+    behind the step that produced ``outputs`` (so its device work queues
+    behind the step, not behind a later in-flight one), starts the async
+    host copies, and ages entries: once more than ``lag`` are pending, the
+    older ones fetch in ONE ``jax.device_get``. ``consume(ctx, outputs,
+    prep_host, scalars)`` runs per drained entry, in order — per-entry
+    metric VALUES and ordering are identical to an unlagged loop.
+    ``want_scalars`` additionally fetches ``(loss, n_examples)`` per entry
+    (train's per-iteration TensorBoard logging)."""
+
+    def __init__(self, metric_fns, lag, consume, want_scalars=False):
+        self.metric_fns = metric_fns
+        self.lag = max(1, int(lag or 1))
+        self.consume = consume
+        self.want_scalars = want_scalars
+        self.pending: list = []
+
+    def prepare(self, outputs):
+        prepared = {
+            name: fn.prepare(outputs)
+            for name, fn in self.metric_fns.items()
+            if hasattr(fn, "prepare")
+        }
+        # Start the device→host transfers now; the batched drain a few
+        # steps later finds them complete (or at least in flight).
+        for leaf in jax.tree_util.tree_leaves(
+            (prepared, outputs["loss"], outputs["n_examples"])
+        ):
+            try:
+                leaf.copy_to_host_async()
+            except AttributeError:
+                pass
+        return prepared
+
+    def add(self, ctx, outputs, prepared=None, age=True):
+        """Queue one entry. ``age=False`` skips the aging drain (chained
+        appends: draining a just-appended entry would block on the chained
+        program dispatched right before)."""
+        self.pending.append(
+            (ctx, outputs, self.prepare(outputs) if prepared is None else prepared)
+        )
+        if age and len(self.pending) > self.lag:
+            self._drain(self.pending[:-1])
+            del self.pending[:-1]
+
+    def flush_if_exceeds(self, extra: int) -> None:
+        """Flush everything now if ``extra`` more entries would pass the lag."""
+        if len(self.pending) + extra > self.lag:
+            self.flush()
+
+    def flush(self) -> None:
+        self._drain(self.pending)
+        self.pending.clear()
+
+    def _drain(self, entries) -> None:
+        if not entries:
+            return
+        # One transfer for everything this drain reads from the device.
+        fetched = jax.device_get(
+            [
+                (
+                    (out["loss"], out["n_examples"]) if self.want_scalars else None,
+                    prep,
+                )
+                for (_ctx, out, prep) in entries
+            ]
+        )
+        for (ctx, out, _), (scalars, prep_host) in zip(entries, fetched):
+            self.consume(ctx, out, prep_host, scalars)
+
+
 class ModelHandle:
     """What metric fns receive as ``model``: the flax module bound to the
     current params, with reference-like conveniences."""
@@ -438,7 +513,16 @@ class Trainer:
                 # Models whose warm start also restores mutable collections
                 # (PatchTST BatchNorm running stats live inside reference
                 # torch checkpoints) implement this richer hook.
-                host_vars = {"params": host, **jax.device_get(extra_vars)}
+                if jax.process_count() > 1:
+                    # Same non-addressable-shards issue as params above:
+                    # extra_vars init'd without out_shardings may land
+                    # GSPMD-sharded, and a plain device_get raises then.
+                    host_extra = jax.tree_util.tree_map(
+                        lambda p: jax.device_get(gather(p)), extra_vars
+                    )
+                else:
+                    host_extra = jax.device_get(extra_vars)
+                host_vars = {"params": host, **host_extra}
                 warm_vars = self.model.warm_start_variables(host_vars)
                 if warm_vars is not host_vars:
                     warm = jax.tree_util.tree_map(
@@ -807,6 +891,21 @@ class Trainer:
                 out[k] = jax.device_put(v, sh)
         return out
 
+    def _apply_metric_fns(self, metric_fns, model_inputs, unused_inputs,
+                          outputs, prep_host):
+        """Invoke metric fns on one drained entry (the public protocol:
+        ``fn(model, model_inputs, unused_inputs, outputs, **metric_kwargs)``,
+        plus ``prepared=`` when the fn exposed a ``prepare`` hook)."""
+        vals = {}
+        for name, fn in metric_fns.items():
+            kwargs = dict(self.metric_kwargs)
+            if name in prep_host:
+                kwargs["prepared"] = prep_host[name]
+            vals[name] = float(
+                fn(self.model_handle, model_inputs, unused_inputs, outputs, **kwargs)
+            )
+        return vals
+
     # ------------------------------------------------------------- evaluate
 
     def evaluate(
@@ -820,42 +919,27 @@ class Trainer:
         test_loss, test_examples = [], []
         test_metrics = {name: [] for name in metric_fns}
 
-        # Same lagged batched readback as the train loop (see train()): a
-        # metric fn that syncs would otherwise fence the eval pipeline once
-        # per batch, and each fetch is a full round trip on remote-attached
-        # devices. Entries age up to ``training.metric_lag`` batches, their
-        # ``fn.prepare`` reductions are dispatched right behind the eval
-        # step and fetched in one batched ``jax.device_get`` at drain time.
-        # Per-batch metric VALUES and their order are unchanged.
-        lag = max(1, int(self.config.training.get("metric_lag", 4) or 1))
-        pending: list = []
+        # Same lagged batched readback machinery as the train loop
+        # (_LaggedMetricReadback): a metric fn that syncs would otherwise
+        # fence the eval pipeline once per batch, and each fetch is a full
+        # round trip on remote-attached devices.
+        def consume(ctx, out, prep_host, _scalars):
+            mi, ui = ctx
+            # Metric fns receive the outputs dict with DEVICE arrays (the
+            # reference hands CUDA tensors the same way): a fn converts only
+            # what it needs — e.g. a device-side argmax then one small
+            # np.asarray — instead of the trainer shipping every output
+            # (incl. full (B, T, V) logits) to host per step.
+            for name, val in self._apply_metric_fns(
+                metric_fns, mi, ui, out, prep_host
+            ).items():
+                test_metrics[name].append(val)
 
-        def drain(entries):
-            if not entries:
-                return
-            fetched = jax.device_get([prep for (_mi, _ui, _out, prep) in entries])
-            for (mi, ui, out, _), prep_host in zip(entries, fetched):
-                for name, fn in metric_fns.items():
-                    # Metric fns receive the outputs dict with DEVICE arrays
-                    # (the reference hands CUDA tensors the same way): a fn
-                    # converts only what it needs — e.g. a device-side argmax
-                    # then one small np.asarray — instead of the trainer
-                    # shipping every output (incl. full (B, T, V) logits) to
-                    # host per step.
-                    kwargs = dict(self.metric_kwargs)
-                    if name in prep_host:
-                        kwargs["prepared"] = prep_host[name]
-                    test_metrics[name].append(
-                        float(
-                            fn(
-                                self.model_handle,
-                                mi,
-                                ui,
-                                out,
-                                **kwargs,
-                            )
-                        )
-                    )
+        readback = _LaggedMetricReadback(
+            metric_fns,
+            self.config.training.get("metric_lag", 4),
+            consume,
+        )
 
         dataloader = self.train_dataloader if eval_train_set else self.test_dataloader
         for dev_batch, model_inputs, unused_inputs in self._prefetch(dataloader):
@@ -865,23 +949,8 @@ class Trainer:
             test_examples.append(outputs["n_examples"])
             if not metric_fns:
                 continue
-            prepared = {
-                name: fn.prepare(outputs)
-                for name, fn in metric_fns.items()
-                if hasattr(fn, "prepare")
-            }
-            for leaf in jax.tree_util.tree_leaves(
-                (prepared, outputs["loss"], outputs["n_examples"])
-            ):
-                try:
-                    leaf.copy_to_host_async()
-                except AttributeError:
-                    pass
-            pending.append((model_inputs, unused_inputs, outputs, prepared))
-            if len(pending) > lag:
-                drain(pending[:-1])
-                del pending[:-1]
-        drain(pending)
+            readback.add((model_inputs, unused_inputs), outputs)
+        readback.flush()
 
         # One batched fetch for the loss/example sums (vs one round trip
         # per eval batch).
@@ -984,69 +1053,33 @@ class Trainer:
         # the step dispatch (so its device work runs right after that step),
         # with the result handed back at drain time as ``prepared=...`` —
         # by then it is a fetched host buffer and np.asarray is free.
-        pending: list = []
-        metric_lag = max(1, int(config.training.get("metric_lag", 4) or 1))
+        metric_lag = int(config.training.get("metric_lag", 4) or 1)
         # With nothing to drain (no metric fns, no writer) skip tracking
         # entirely: each pending entry pins the step's whole outputs pytree
         # on device, and metric_lag of them is real memory for big-vocab
         # heads (a (B, T, 32k-vocab) logits tensor per entry).
         track_metrics = bool(self.metric_fns) or self.writer is not None
 
-        def make_prepared(outputs):
-            prepared = {
-                name: fn.prepare(outputs)
-                for name, fn in self.metric_fns.items()
-                if hasattr(fn, "prepare")
-            }
-            # Start the device→host transfers now; the batched drain a few
-            # steps later finds them complete (or at least in flight).
-            for leaf in jax.tree_util.tree_leaves(
-                (prepared, outputs["loss"], outputs["n_examples"])
-            ):
-                try:
-                    leaf.copy_to_host_async()
-                except AttributeError:
-                    pass
-            return prepared
+        def consume_train(ctx, out, prep_host, scalars):
+            p_step, p_inputs, p_unused = ctx
+            if scalars is not None:
+                loss_v, n_v = float(scalars[0]), float(scalars[1])
+                self.writer.add_scalar(
+                    "Loss/train_iter", loss_v / n_v if n_v > 0 else 0.0, p_step
+                )
+            # Device arrays, not host copies — see evaluate(). train_metrics
+            # is rebound at eval boundaries; the closure reads the live cell.
+            for name, val in self._apply_metric_fns(
+                self.metric_fns, p_inputs, p_unused, out, prep_host
+            ).items():
+                train_metrics[name].append(val)
+                if self.writer is not None:
+                    self.writer.add_scalar(f"{name}/train_iter", val, p_step)
 
-        def drain(entries):
-            if not entries:
-                return
-            # One transfer for everything this drain reads from the device.
-            want_loss = self.writer is not None
-            fetched = jax.device_get(
-                [
-                    (
-                        (out["loss"], out["n_examples"]) if want_loss else None,
-                        prep,
-                    )
-                    for (_s, _mi, _ui, out, prep) in entries
-                ]
-            )
-            for p, (scalars, prep_host) in zip(entries, fetched):
-                p_step, p_inputs, p_unused, p_outputs, _ = p
-                if want_loss:
-                    loss_v, n_v = float(scalars[0]), float(scalars[1])
-                    self.writer.add_scalar(
-                        "Loss/train_iter", loss_v / n_v if n_v > 0 else 0.0, p_step
-                    )
-                for name, fn in self.metric_fns.items():
-                    # Device arrays, not host copies — see evaluate().
-                    kwargs = dict(self.metric_kwargs)
-                    if name in prep_host:
-                        kwargs["prepared"] = prep_host[name]
-                    val = float(
-                        fn(
-                            self.model_handle,
-                            p_inputs,
-                            p_unused,
-                            p_outputs,
-                            **kwargs,
-                        )
-                    )
-                    train_metrics[name].append(val)
-                    if self.writer is not None:
-                        self.writer.add_scalar(f"{name}/train_iter", val, p_step)
+        readback = _LaggedMetricReadback(
+            self.metric_fns, metric_lag, consume_train,
+            want_scalars=self.writer is not None,
+        )
 
         K = self._chain_steps
 
@@ -1076,7 +1109,7 @@ class Trainer:
         def after_step(g: int) -> bool:
             """Eval / save / budget bookkeeping for logical step ``g``;
             returns True when the step budget is exhausted."""
-            nonlocal pending, train_loss, train_examples, train_metrics
+            nonlocal train_loss, train_examples, train_metrics
             nonlocal window_t0, window_samples
 
             # Preemption FIRST: the grace period must not be burned on a
@@ -1110,8 +1143,7 @@ class Trainer:
                     "training.resume=true)",
                     verbosity=0,
                 )
-                drain(pending)
-                pending = []
+                readback.flush()
                 # wait=True: the process is about to exit on SIGTERM — the
                 # checkpoint must be committed before the grace period ends.
                 self.save_checkpoint(f"STEP{true_step}", wait=True)
@@ -1129,8 +1161,7 @@ class Trainer:
                 # so the samples/s counter measures training only.
                 dt = time.perf_counter() - window_t0
                 # Flush the current step's lagged metrics before averaging.
-                drain(pending)
-                pending = []
+                readback.flush()
                 test_avg_loss, test_avg_metrics = self.evaluate(self.eval_metric_fns)
                 # Entries are scalars (single steps) or (K,) vectors
                 # (chained calls) — reduce each before totalling. One
@@ -1210,8 +1241,7 @@ class Trainer:
                     "Reached max_steps" if max_steps else "Step budget done",
                     verbosity=1,
                 )
-                drain(pending)
-                pending = []
+                readback.flush()
                 if self.writer is not None:
                     self.writer.flush()
                 return True
@@ -1219,7 +1249,7 @@ class Trainer:
 
         def run_epochs() -> None:
             # nonlocal: the loop rebinds these enclosing-scope names
-            nonlocal global_step, window_samples, pending
+            nonlocal global_step, window_samples
 
             for epoch in range(min(start_epoch, n_epochs), n_epochs + 1):
                 self.print_v(f"Epoch {epoch}", verbosity=1)
@@ -1267,9 +1297,7 @@ class Trainer:
                         # Flush older entries BEFORE appending this chain's:
                         # draining a just-appended entry would block on the
                         # chained program that was dispatched above.
-                        if len(pending) + len(group) > metric_lag:
-                            drain(pending)
-                            pending = []
+                        readback.flush_if_exceeds(len(group))
                         for j, (_db, mi, ui) in enumerate(group):
                             if not track_metrics:
                                 break
@@ -1279,14 +1307,8 @@ class Trainer:
                                 k2: (v[j] if v is not None else None)
                                 for k2, v in outs.items()
                             }
-                            pending.append(
-                                (
-                                    global_step + j,
-                                    mi,
-                                    ui,
-                                    outputs_j,
-                                    make_prepared(outputs_j),
-                                )
+                            readback.add(
+                                (global_step + j, mi, ui), outputs_j, age=False
                             )
                         stop = False
                         for _ in range(len(group)):
@@ -1325,25 +1347,15 @@ class Trainer:
                     # they drain, and drains batch metric_lag entries into
                     # one device fetch.
                     if track_metrics:
-                        pending.append(
-                            (
-                                global_step,
-                                model_inputs,
-                                unused_inputs,
-                                outputs,
-                                make_prepared(outputs),
-                            )
+                        readback.add(
+                            (global_step, model_inputs, unused_inputs), outputs
                         )
-                        if len(pending) > metric_lag:
-                            drain(pending[:-1])
-                            del pending[:-1]
 
                     if after_step(global_step):
                         return
                     global_step += 1
 
-            drain(pending)
-            pending = []
+            readback.flush()
             if self.writer is not None:
                 self.writer.flush()
                 self.writer.close()

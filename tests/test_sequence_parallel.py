@@ -101,6 +101,64 @@ def test_sp_time_dim_indivisible_falls_back(tmp_path):
     set_op_mesh(None)
 
 
+def _ctc_config(tmp_path, parallelism, seed=0):
+    cfg = base_config(tmp_path)
+    cfg["data"]["dataset_class"] = "decoding"
+    cfg["method"]["model_kwargs"] = {
+        "method_name": "ctc", "vocab_size": 7, "blank_id": 0, "zero_infinity": True,
+    }
+    cfg["model"]["encoder"]["masker"]["neuron"]["active"] = False
+    cfg["model"]["encoder"]["embedder"]["stack"] = {
+        "active": True, "size": 4, "stride": 2,
+    }
+    cfg["method"]["dataset_kwargs"] = {"targets_name": "targets"}
+    pad = {"dim": 0, "side": "right", "value": 0, "truncate": None, "min_length": None}
+    cfg["method"]["dataloader_kwargs"]["pad_dict"].update(
+        {"targets": dict(pad), "targets_mask": dict(pad)}
+    )
+    for spec in cfg["method"]["dataloader_kwargs"]["pad_dict"].values():
+        spec["side"] = "right"
+    cfg["parallelism"] = parallelism
+    cfg["seed"] = seed
+    return cfg
+
+
+def test_sp_ctc_matches_data_parallel(tmp_path):
+    """CTC under sp: the stacking conv runs on a time-sharded input and the
+    loss gathers the (B, T', V) log-probs over sp (the lattice recursion is
+    sequential over full T' — ops/ctc.py documents why the Pallas dispatch
+    is deliberately NOT sp-gated). Losses must match the dp-only run."""
+    from llm_bci_tpu.training import Trainer
+
+    def run(tag, parallelism):
+        losses = []
+
+        def probe(model, mi, ui, outputs, **kw):
+            val = float(np.asarray(outputs["loss"]))
+            losses.append(val)
+            return val
+
+        cfg = _ctc_config(tmp_path / tag, parallelism)
+        cfg["savestring"] = tag
+        trainer = Trainer(
+            cfg,
+            dataset=synth_dataset(with_targets=True),
+            metric_fns={"probe": probe},
+        )
+        trainer.train()
+        return losses
+
+    losses_dp = run("ctc_dp", {"data": -1, "fsdp": 1})
+    losses_sp = run("ctc_sp", {"data": 2, "fsdp": 1, "sp": 4})
+    assert len(losses_sp) == len(losses_dp) > 0
+    assert all(np.isfinite(losses_sp))
+    np.testing.assert_allclose(losses_dp, losses_sp, rtol=1e-3)
+
+    from llm_bci_tpu.ops.spmd import set_op_mesh
+
+    set_op_mesh(None)
+
+
 def test_make_mesh_sp_axis_validation():
     from llm_bci_tpu.parallel.mesh import make_mesh
 

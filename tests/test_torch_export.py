@@ -344,3 +344,51 @@ def test_llama_lora_export_to_peft_logits_parity(tmp_path):
         attention_mask=jnp.asarray(mask),
     )
     np.testing.assert_allclose(np.asarray(o_logits), t_logits, rtol=2e-4, atol=2e-4)
+
+
+def test_llama_tied_embeddings_export_logits_parity(tmp_path):
+    """tie_word_embeddings=True models have no lm_head param of their own;
+    the export must load non-strict and re-tie (a strict/assign load either
+    demands the missing key or unties the weights)."""
+    from llm_bci_tpu.interop import save_hf_llama
+    from llm_bci_tpu.models.llama import LlamaConfig, LlamaForCausalLM
+
+    cfg = LlamaConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=64, tie_word_embeddings=True,
+    )
+    model = LlamaForCausalLM(cfg, dtype=jnp.float32)
+    ids = np.arange(20, dtype=np.int32).reshape(2, 10) % 96
+    mask = np.ones_like(ids)
+    params = model.init(
+        jax.random.PRNGKey(3),
+        input_ids=jnp.asarray(ids),
+        attention_mask=jnp.asarray(mask),
+    )["params"]
+    params = jax.tree_util.tree_map(np.asarray, jax.device_get(params))
+    assert "lm_head" not in params
+
+    out_dir = str(tmp_path / "hf_tied")
+    save_hf_llama(params, cfg, out_dir)
+
+    from transformers import AutoModelForCausalLM
+
+    hf = AutoModelForCausalLM.from_pretrained(out_dir, torch_dtype=torch.float32)
+    assert hf.config.tie_word_embeddings
+    # The reloaded head really is the embedding table (still tied).
+    assert (
+        hf.lm_head.weight.data_ptr()
+        == hf.model.embed_tokens.weight.data_ptr()
+    )
+    with torch.no_grad():
+        t_logits = hf(
+            input_ids=torch.from_numpy(ids).long(),
+            attention_mask=torch.from_numpy(mask).long(),
+        ).logits.numpy()
+    o_logits, _ = model.apply(
+        {"params": params},
+        input_ids=jnp.asarray(ids),
+        attention_mask=jnp.asarray(mask),
+    )
+    np.testing.assert_allclose(np.asarray(o_logits), t_logits, rtol=2e-4, atol=2e-4)
