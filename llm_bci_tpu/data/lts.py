@@ -104,6 +104,10 @@ _RULES_SRC = [
     _r("", "ang", "+", "EY", "N", "JH"),
     _r("", "a", "^en", "EY"),
     _r(" ", "a", "^#", "AH"),
+    _r("#:^", "ance", " ", "AH", "N", "S"),
+    _r("#:^", "ancy", " ", "AH", "N", "S", "IY"),
+    _r("#:^", "ant", " ", "AH", "N", "T"),
+    _r("#:^", "ant", "s ", "AH", "N", "T"),
     _r("", "a", "^e ", "EY"),
     _r("", "a", "^es ", "EY"),
     _r("", "a", "^%", "EY"),
@@ -130,6 +134,7 @@ _RULES_SRC = [
     _r("", "c", "", "K"),
     # ---- d
     _r("#:", "ded", " ", "D", "IH", "D"),
+    _r("", "dia", "", "D", "AY", "AH"),
     _r(".e", "d", " ", "D"),
     _r("#e", "d", " ", "D"),
     _r("#:^e", "d", " ", "T"),
@@ -145,6 +150,16 @@ _RULES_SRC = [
     _r("#:", "e", " ", ),
     _r("':^", "e", " ", ),
     _r(" :", "e", " ", "IY"),
+    # unstressed suffixes: a later syllable after the (stressed) first vowel
+    # reduces to AH (left context "#:^" requires an earlier vowel, so
+    # one-syllable words like "went"/"sense" keep their full vowel)
+    _r("#:^", "ence", " ", "AH", "N", "S"),
+    _r("#:^", "ency", " ", "AH", "N", "S", "IY"),
+    _r("#:^", "ent", " ", "AH", "N", "T"),
+    _r("#:^", "ent", "s ", "AH", "N", "T"),
+    _r("#:^", "ently", " ", "AH", "N", "T", "L", "IY"),
+    _r(" ", "ex", "h#", "IH", "G", "Z"),
+    _r(" ", "ex", "#", "IH", "G", "Z"),
     _r("#", "ed", " ", "D"),
     _r("#:", "e", "d ", ),
     _r("", "ev", "er", "EH", "V"),
@@ -214,6 +229,11 @@ _RULES_SRC = [
     _r("#:r", "ied", "", "IY", "D"),
     _r("", "ied", " ", "AY", "D"),
     _r("", "ien", "", "IY", "EH", "N"),
+    _r("#:^", "ive", " ", "IH", "V"),
+    _r("#:^", "ive", "s ", "IH", "V"),
+    _r("#:^", "ively", " ", "IH", "V", "L", "IY"),
+    _r("#:^", "ity", " ", "AH", "T", "IY"),
+    _r("#:^", "ities", " ", "AH", "T", "IY", "Z"),
     _r("", "ie", "t", "AY", "EH"),
     _r(" :", "i", "%", "AY"),
     _r("", "i", "%", "IY"),
@@ -241,6 +261,8 @@ _RULES_SRC = [
     # ---- l
     _r("l", "l", "", ),
     _r("#:^", "l", "% ", "AH", "L"),
+    _r("", "logue", "", "L", "AO", "G"),
+    _r("#:^", "less", " ", "L", "AH", "S"),
     _r("", "lead", "", "L", "IY", "D"),
     _r("", "l", "", "L"),
     # ---- m
@@ -254,6 +276,8 @@ _RULES_SRC = [
     _r("", "ngl", "%", "NG", "G", "AH", "L"),
     _r("", "ng", "", "NG"),
     _r("", "nk", "", "NG", "K"),
+    _r("", "ness", " ", "N", "AH", "S"),
+    _r("", "ness", "es ", "N", "AH", "S"),
     _r(" ", "now", " ", "N", "AW"),
     _r("n", "n", "", ),
     _r("", "n", "", "N"),

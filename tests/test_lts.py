@@ -36,9 +36,14 @@ def _edit(a, b):
 
 
 def test_lts_agreement_floor_vs_dictionary():
-    """The rule engine must stay close to the hand-vetted dictionary: these
-    floors pin the measured quality (81% exact, 0.064 PER at commit time) so
-    rule edits can't silently regress."""
+    """The rule engine must stay close to the vendored dictionary: these
+    floors pin the measured quality so rule edits can't silently regress.
+
+    Measured 53% exact / 0.129 PER at commit time against the 5,376-entry
+    dictionary (the earlier 81%/0.064 floor was against the 495-entry
+    hand-vetted core; the expanded dictionary adds many stress-reduced and
+    irregular words a stress-blind rule engine cannot get exactly right —
+    most residual error is full-vowel-vs-schwa in unstressed syllables)."""
     lts = RuleLTS()
     entries = _dict_entries()
     exact, err, ref_len = 0, 0, 0
@@ -48,8 +53,8 @@ def test_lts_agreement_floor_vs_dictionary():
         exact += e == 0
         err += e
         ref_len += len(ref)
-    assert exact / len(entries) >= 0.75, f"exact {exact}/{len(entries)}"
-    assert err / ref_len <= 0.10, f"PER {err / ref_len:.3f}"
+    assert exact / len(entries) >= 0.50, f"exact {exact}/{len(entries)}"
+    assert err / ref_len <= 0.14, f"PER {err / ref_len:.3f}"
 
 
 def test_lts_emits_only_vocab_phones():
