@@ -477,16 +477,23 @@ _PEFT_BLOCKS = {
 
 
 def save_peft_adapter(
-    llm_params: Dict, save_dir: str, lora_alpha: float = 32.0
+    llm_params: Dict, save_dir: str, lora_alpha: Optional[float] = None
 ) -> int:
     """Write the LoRA factors of our Llama tree as a peft adapter dir
     (``adapter_model.safetensors`` + ``adapter_config.json``) that
     ``peft.PeftModel.from_pretrained`` loads onto the HF base. peft stores
     (r, in)/(out, r) — ours are the transposes. Returns the number of
-    adapted projections (0 = nothing written)."""
+    adapted projections (0 = nothing written).
+
+    ``lora_alpha`` must be the alpha the model was TRAINED with
+    (``model.lora_alpha`` / ``method.model_kwargs.lora.alpha``): peft scales
+    deltas by alpha/r from ``adapter_config.json``, so recording a guess
+    would silently mis-scale every adapter on the torch side. It is not a
+    weight, so it cannot be derived from the param tree — hence required
+    whenever the tree actually carries factors."""
     tensors: Dict[str, np.ndarray] = {}
     targets = set()
-    r = None
+    ranks = set()
     i = 0
     while f"layers_{i}" in llm_params:
         lp = llm_params[f"layers_{i}"]
@@ -500,10 +507,23 @@ def save_peft_adapter(
             tensors[f"{base}.lora_A.weight"] = np.ascontiguousarray(a.T)
             tensors[f"{base}.lora_B.weight"] = np.ascontiguousarray(b.T)
             targets.add(proj)
-            r = a.shape[1]
+            ranks.add(int(a.shape[1]))
         i += 1
     if not tensors:
         return 0
+    if lora_alpha is None:
+        raise ValueError(
+            "save_peft_adapter: the param tree carries LoRA factors but no "
+            "lora_alpha was given — pass the alpha the model was trained "
+            "with (model.lora_alpha / method.model_kwargs.lora.alpha); "
+            "adapter_config.json must record it for peft to scale correctly"
+        )
+    if len(ranks) != 1:
+        raise ValueError(
+            f"save_peft_adapter: projections have differing LoRA ranks "
+            f"{sorted(ranks)} — a peft adapter_config records one r"
+        )
+    r = ranks.pop()
     os.makedirs(save_dir, exist_ok=True)
     from safetensors.numpy import save_file
 
@@ -534,7 +554,7 @@ def bci_save_reference_checkpoint(
     config: Dict,
     save_dir: str,
     llama_config=None,
-    lora_alpha: float = 32.0,
+    lora_alpha: Optional[float] = None,
     vocab_size: Optional[int] = None,
 ) -> None:
     """Our BCI param tree → reference BCI checkpoint dir

@@ -540,13 +540,30 @@ _PEFT_LORA_RE = re.compile(
 )
 
 
-def lora_params_from_peft_adapter(adapter_path: str, llm_params: Dict) -> Dict:
+def lora_params_from_peft_adapter(
+    adapter_path: str,
+    llm_params: Dict,
+    expect_r: Optional[int] = None,
+    expect_alpha: Optional[float] = None,
+) -> Dict:
     """Graft a peft LoRA adapter file (``adapter_model.safetensors`` or
     ``.bin``; key layout ``base_model.model.model.layers.{i}.self_attn.
     q_proj.lora_A.weight``) into our Llama param tree's ``lora_A``/``lora_B``
     leaves (``models/llama.py``; peft stores (r, in) / (out, r) — ours are
     the transposes). Reference adapter config:
-    ``/root/reference/configs/trainer_bci.yaml:54-59``."""
+    ``/root/reference/configs/trainer_bci.yaml:54-59``.
+
+    The LoRA *scaling* (alpha/r) is model config, not a weight: peft records
+    it in ``adapter_config.json`` and our Llama bakes it in at construction
+    (``lora_alpha``). Grafting factors trained under a different alpha would
+    silently mis-scale every delta, so when ``adapter_config.json`` sits
+    next to the weights its ``r``/``lora_alpha`` are validated against
+    ``expect_r``/``expect_alpha`` (pass the live model's values)."""
+    _validate_peft_adapter_config(
+        os.path.join(os.path.dirname(adapter_path), "adapter_config.json"),
+        expect_r,
+        expect_alpha,
+    )
     if adapter_path.endswith(".safetensors"):
         from safetensors.numpy import load_file
 
@@ -574,6 +591,45 @@ def lora_params_from_peft_adapter(adapter_path: str, llm_params: Dict) -> Dict:
     return llm_params
 
 
+def _validate_peft_adapter_config(
+    cfg_path: str, expect_r: Optional[int], expect_alpha: Optional[float]
+) -> None:
+    if not os.path.isfile(cfg_path):
+        return
+    import json
+
+    with open(cfg_path) as f:
+        acfg = json.load(f)
+    if acfg.get("rank_pattern") or acfg.get("alpha_pattern"):
+        raise ValueError(
+            f"peft adapter {cfg_path!r} uses per-module rank_pattern/"
+            "alpha_pattern — our Llama applies one uniform lora_r/lora_alpha"
+        )
+    if acfg.get("use_rslora"):
+        raise ValueError(
+            f"peft adapter {cfg_path!r} was trained with use_rslora "
+            "(alpha/sqrt(r) scaling) — our Llama scales by alpha/r"
+        )
+    a_r, a_alpha = acfg.get("r"), acfg.get("lora_alpha")
+    if expect_r is not None and a_r is not None and int(a_r) != int(expect_r):
+        raise ValueError(
+            f"peft adapter was trained with r={a_r} but the model is "
+            f"configured with lora.r={expect_r} — set "
+            f"method.model_kwargs.lora.r={a_r} to import it"
+        )
+    if (
+        expect_alpha is not None
+        and a_alpha is not None
+        and float(a_alpha) != float(expect_alpha)
+    ):
+        raise ValueError(
+            f"peft adapter was trained with lora_alpha={a_alpha} but the "
+            f"model is configured with lora.alpha={expect_alpha}: the deltas "
+            f"would be mis-scaled by {float(expect_alpha) / float(a_alpha):g}× "
+            f"— set method.model_kwargs.lora.alpha={a_alpha} to import it"
+        )
+
+
 def _find_peft_adapter(load_dir: str) -> Optional[str]:
     for name in ("adapter_model.safetensors", "adapter_model.bin"):
         p = os.path.join(load_dir, name)
@@ -597,6 +653,8 @@ def bci_params_from_torch(
     llama_config=None,
     llm_dir: Optional[str] = None,
     quant: Optional[str] = None,
+    lora_r: Optional[int] = None,
+    lora_alpha: Optional[float] = None,
 ) -> Dict:
     """Reference BCI checkpoint dir (``/root/reference/models/bci.py:250-264``)
     → our param tree. Imports, in order:
@@ -652,7 +710,9 @@ def bci_params_from_torch(
 
     adapter = _find_peft_adapter(load_dir)
     if adapter is not None:
-        lora_params_from_peft_adapter(adapter, params["llm"])
+        lora_params_from_peft_adapter(
+            adapter, params["llm"], expect_r=lora_r, expect_alpha=lora_alpha
+        )
     if base_dir is None and adapter is None:
         raise ValueError(
             f"BCI: {load_dir!r} holds neither full HF weights nor a peft "

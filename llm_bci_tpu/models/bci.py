@@ -445,6 +445,8 @@ class BCI(nn.Module):
                 llama_config=self.llama_config,
                 llm_dir=self.config.get("llm_path"),
                 quant=self.quant,
+                lora_r=self.lora_r if self.lora_r > 0 else None,
+                lora_alpha=self.lora_alpha if self.lora_r > 0 else None,
             )
         for name, fname in (
             ("llm", "llm.msgpack"),

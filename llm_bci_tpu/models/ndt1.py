@@ -638,15 +638,36 @@ class NeuralEncoder(nn.Module):
         if not backend_ok:
             return False
         if B is not None and not batch_shardable(B):
+            self._note_flash_fallback(
+                f"batch {B} not shardable over the mesh data axis "
+                "(ragged eval tail)"
+            )
             return False
         if sequence_sharded():
             # sp > 1: activations are time-sharded; the data-axis shard_map
             # around the kernel would all-gather T per layer. XLA SDPA keeps
             # the sp layout (GSPMD gathers K/V once per attention instead).
+            self._note_flash_fallback(
+                "sequence-parallel (sp>1) activations are time-sharded; the "
+                "XLA SDPA path keeps the sp layout"
+            )
             return False
         if self.flash_mode == "on":
             return True
         return self.flash_mode == "auto" and T >= _FLASH_AUTO_MIN_T
+
+    def _note_flash_fallback(self, why: str) -> None:
+        """An explicit ``flash_attention: on`` falling back to the XLA path
+        must be loud — a user forcing the Pallas kernel (e.g. to benchmark
+        it) would otherwise measure the wrong code path. ``auto`` fallbacks
+        stay silent (that's what auto means)."""
+        if self.flash_mode == "on":
+            import warnings
+
+            warnings.warn(
+                f"flash_attention: on — falling back to XLA SDPA: {why}",
+                stacklevel=3,
+            )
 
     def __call__(
         self,

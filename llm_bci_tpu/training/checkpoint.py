@@ -18,11 +18,33 @@ import jax
 _MANAGERS: dict = {}
 
 
+def _cached_manager_stale(d: str, mgr) -> bool:
+    """A cached manager goes stale when its directory was deleted (or
+    deleted and recreated by a fresh run to the same path — common in
+    notebooks and parametrized tests) or when a step it believes committed
+    vanished from disk: its internal step bookkeeping then garbage-collects
+    ghost paths and ``restore`` targets files that no longer exist."""
+    if not os.path.isdir(d):
+        return True
+    try:
+        step = mgr.latest_step()
+    except Exception:
+        return True
+    return step is not None and not os.path.isdir(os.path.join(d, str(step)))
+
+
 def _manager(directory: str):
     import orbax.checkpoint as ocp
 
     d = os.path.abspath(directory)
     mgr = _MANAGERS.get(d)
+    if mgr is not None and _cached_manager_stale(d, mgr):
+        try:
+            mgr.close()
+        except Exception:
+            pass  # the backing dir is gone; pending writes can't commit
+        del _MANAGERS[d]
+        mgr = None
     if mgr is None:
         mgr = ocp.CheckpointManager(
             d,

@@ -1393,24 +1393,36 @@ class Trainer:
 
     # ----------------------------------------------------------- checkpoint
 
-    def save_checkpoint(self, tag: str, wait: bool = True) -> None:
+    def save_checkpoint(
+        self, tag: str, wait: bool = True, component_blobs: Optional[bool] = None
+    ) -> None:
         """Component blobs + trainer config (reference layout,
         ``models/trainer.py:405-413``) plus a full Orbax train state.
 
         ``wait=False`` (the train loop's mode) lets the Orbax write drain
         in the background — Orbax snapshots the arrays to host before
         returning, so the next donated step can't corrupt the checkpoint;
-        train() waits for pending writes on every exit path."""
+        train() waits for pending writes on every exit path.
+
+        ``component_blobs`` overrides ``training.component_blobs`` for this
+        one save: after a ``component_blobs: false`` run, a final
+        ``trainer.save_checkpoint("FINAL", component_blobs=True)`` exports
+        the reference-layout msgpack blobs once at the end."""
+        want_blobs = (
+            bool(self.config.training.get("component_blobs", True))
+            if component_blobs is None
+            else bool(component_blobs)
+        )
         save_to_path = os.path.join(self.checkpoint_dir, tag)
         if self.is_main_process:
             os.makedirs(save_to_path, exist_ok=True)
         self.print_v(f"Saving checkpoint to {save_to_path}", verbosity=1)
-        if not bool(self.config.training.get("component_blobs", True)):
+        if not want_blobs:
             # training.component_blobs=false: the reference-layout msgpack
             # blobs device_get EVERY param synchronously (a frozen 7B BCI
             # base is ~13.5 GB per save) — production runs keep only the
             # Orbax train_state and export blobs once at the end
-            # (torch_export / a final save_checkpoint() call).
+            # (torch_export / a final save_checkpoint(component_blobs=True)).
             self.print_v(
                 "component_blobs=false: skipping component msgpack blobs "
                 "(train_state/ carries the full state)",

@@ -31,3 +31,30 @@ def test_overlay_keeps_live_value_on_missing_leaf(capsys):
     np.testing.assert_array_equal(out["a"], np.ones(3))
     np.testing.assert_array_equal(out["b"], np.arange(2))
     assert "predates" in capsys.readouterr().out
+
+
+def test_manager_cache_survives_directory_recreation(tmp_path):
+    """save → rmtree → fresh save to the same path (notebooks, parametrized
+    tests): the per-directory CheckpointManager cache must notice the wiped
+    directory and rebuild, instead of serving step bookkeeping for files
+    that no longer exist."""
+    import shutil
+
+    from llm_bci_tpu.training.checkpoint import (
+        restore_train_state,
+        save_train_state,
+    )
+
+    d = str(tmp_path / "run")
+    state = {"w": np.arange(4, dtype=np.float32)}
+    save_train_state(d, 2, state, wait=True)
+    step, out = restore_train_state(d, state)
+    assert step == 2
+
+    shutil.rmtree(d)
+
+    fresh = {"w": np.full(4, 7.0, dtype=np.float32)}
+    save_train_state(d, 1, fresh, wait=True)
+    step, out = restore_train_state(d, {"w": np.zeros(4, dtype=np.float32)})
+    assert step == 1  # NOT the vanished step 2
+    np.testing.assert_array_equal(out["w"], fresh["w"])

@@ -392,3 +392,29 @@ def test_llama_tied_embeddings_export_logits_parity(tmp_path):
         attention_mask=jnp.asarray(mask),
     )
     np.testing.assert_allclose(np.asarray(o_logits), t_logits, rtol=2e-4, atol=2e-4)
+
+
+def test_save_peft_adapter_requires_trained_alpha(tmp_path):
+    """A tree that carries LoRA factors cannot be exported without the alpha
+    it was trained with — peft scales deltas by adapter_config.json's
+    alpha/r, so writing a default would silently mis-scale the torch side."""
+    from llm_bci_tpu.interop import save_peft_adapter
+
+    rng = np.random.default_rng(0)
+    params = {
+        "layers_0": {
+            "self_attn": {
+                "q_proj": {
+                    "kernel": rng.normal(size=(8, 8)).astype(np.float32),
+                    "lora_A": rng.normal(size=(8, 4)).astype(np.float32),
+                    "lora_B": rng.normal(size=(4, 8)).astype(np.float32),
+                }
+            },
+            "mlp": {},
+        }
+    }
+    with pytest.raises(ValueError, match="lora_alpha"):
+        save_peft_adapter(params, str(tmp_path / "adapter"))
+    # no factors → nothing written, no alpha needed
+    assert save_peft_adapter({"layers_0": {"self_attn": {}, "mlp": {}}},
+                             str(tmp_path / "empty")) == 0

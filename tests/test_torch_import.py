@@ -435,3 +435,29 @@ def test_peft_lora_adapter_import_logits_parity(tmp_path):
         attention_mask=jnp.asarray(mask),
     )
     np.testing.assert_allclose(np.asarray(o_logits), t_logits, rtol=2e-4, atol=2e-4)
+
+
+def test_peft_adapter_config_alpha_mismatch_raises(tmp_path):
+    """The LoRA scaling (alpha/r) is config, not a weight: importing an
+    adapter trained under a different lora_alpha would silently mis-scale
+    every delta, so adapter_config.json is validated against the live
+    model's values before any weight is read."""
+    import json
+
+    import pytest
+
+    from llm_bci_tpu.interop import lora_params_from_peft_adapter
+
+    with open(tmp_path / "adapter_config.json", "w") as f:
+        json.dump({"r": 8, "lora_alpha": 16.0}, f)
+    adapter = str(tmp_path / "adapter_model.safetensors")
+
+    with pytest.raises(ValueError, match="lora_alpha=16"):
+        lora_params_from_peft_adapter(adapter, {}, expect_r=8, expect_alpha=32.0)
+    with pytest.raises(ValueError, match="r=8"):
+        lora_params_from_peft_adapter(adapter, {}, expect_r=4, expect_alpha=16.0)
+
+    with open(tmp_path / "adapter_config.json", "w") as f:
+        json.dump({"r": 8, "lora_alpha": 16.0, "use_rslora": True}, f)
+    with pytest.raises(ValueError, match="rslora"):
+        lora_params_from_peft_adapter(adapter, {}, expect_r=8, expect_alpha=16.0)

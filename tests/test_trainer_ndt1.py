@@ -481,6 +481,12 @@ def test_component_blobs_false_keeps_orbax_only(tmp_path):
     assert os.path.isfile(str(step_dir / "trainer_config.yaml"))
     assert not os.path.exists(str(step_dir / "encoder.msgpack"))
 
+    # the documented escape hatch: a one-off forced blob export at the end
+    # overrides the config flag for that single save
+    trainer.save_checkpoint("FINAL", component_blobs=True)
+    final_dir = tmp_path / "ckpt" / "smoke" / "FINAL"
+    assert os.path.isfile(str(final_dir / "encoder.msgpack"))
+
     trainer2 = Trainer(cfg, dataset=synth_dataset())
     assert trainer2.resume_from() == 2
     p1 = np.asarray(next(iter(jax_leaves(trainer.state.params))))
