@@ -336,6 +336,23 @@ def bench_trainer_path(steps: int = 30):
     sync()
     with_cer = steps * B / (time.perf_counter() - t0)
 
+    # BENCH_METRIC_LAG_SWEEP=8,16,30: re-time the CER path at other
+    # ``training.metric_lag`` depths (no recompile — train() re-reads the
+    # config). Each batched drain costs one device→host round trip, so on
+    # a remote-attached chip the metric overhead is ~RTT/lag per step.
+    sweep = os.environ.get("BENCH_METRIC_LAG_SWEEP")
+    if sweep:
+        for lag in (int(x) for x in sweep.split(",")):
+            trainer.config.training["metric_lag"] = lag
+            t0 = time.perf_counter()
+            trainer.train()
+            sync()
+            print(
+                f"metric_lag={lag}: "
+                f"{steps * B / (time.perf_counter() - t0):.1f} samples/s",
+                flush=True,
+            )
+
     # The Trainer assigned the process-global op mesh; on a multi-device
     # host, leaving it set would silently reroute every later sub-bench's
     # flash/CTC call through shard_map (ops/spmd.py docstring).

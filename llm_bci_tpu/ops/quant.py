@@ -192,6 +192,50 @@ def _fit_block(dim: int, block: int) -> int:
     return block
 
 
+# Per-operand VMEM budgets for the auto block planner (bytes). Mosaic
+# double-buffers the streamed weight blocks, so the working set is about
+# 2*weight + acc + in/out blocks — comfortably inside ~16 MB VMEM.
+_WEIGHT_BLOCK_BUDGET = 2 * 1024 * 1024
+_ACC_BLOCK_BUDGET = 2 * 1024 * 1024
+
+
+def _divisor_block(dim: int, cap: int, unit: int = 128) -> int:
+    """Largest multiple of ``unit`` that divides ``dim``, at most ``cap``
+    (0 when none exists)."""
+    best = 0
+    b = unit
+    top = min(dim, cap)
+    while b <= top:
+        if dim % b == 0:
+            best = b
+        b += unit
+    return best
+
+
+def _plan_blocks(K: int, N: int, bm: int):
+    """Pick (bn, bk) for the dequant kernel by HBM contiguity, not FLOPs.
+
+    The op is weight-bandwidth bound (that's the whole point of int8
+    storage), and ``q`` is (K, N) row-major: a (bk, bn) block reads
+    ``bn``-byte contiguous runs with stride N. Fixed small blocks (the old
+    256-ish defaults) made the big decode weights — lm_head is (1024,
+    32000) — stream in 256-byte chunks, which measures ~3.5x off the HBM
+    roofline and lost to the plain bf16 matmul. So: maximize ``bn`` first
+    (whole rows when they fit, so blocks are fully contiguous), then grow
+    ``bk`` within the weight-block budget. ``bm`` caps ``bn`` through the
+    f32 accumulator's budget. Returns None when no 128-multiple divides a
+    dim (→ XLA fallback)."""
+    bn = _divisor_block(
+        N, min(_WEIGHT_BLOCK_BUDGET // 128, _ACC_BLOCK_BUDGET // (bm * 4))
+    )
+    if not bn:
+        return None
+    bk = _divisor_block(K, _WEIGHT_BLOCK_BUDGET // bn)
+    if not bk:
+        return None
+    return bn, bk
+
+
 def _pallas_viable(M: int, K: int, N: int, bm: int, bn: int, bk: int) -> bool:
     if jax.default_backend() != "tpu" and not _INTERPRET:
         return False
@@ -243,16 +287,18 @@ def int8_matmul(
     scale: jax.Array,  # (N,) f32
     out_dtype=None,
     block_m: int = 256,
-    block_n: int = 512,
-    block_k: int = 256,
+    block_n: Optional[int] = None,
+    block_k: Optional[int] = None,
     impl: str = "auto",
 ) -> jax.Array:
     """``(x @ dequant(q, scale))`` with int8 weights streamed from HBM.
 
     Leading dims of ``x`` are flattened into M. On TPU, tile-aligned shapes
-    (M % 16 after M-padding; K and N divisible by SOME block in
-    {block, 256, 128}) run the Pallas kernel; everything else falls back
-    to the exact-same-math XLA path.
+    (M % 16 after M-padding; K and N divisible by a 128-multiple) run the
+    Pallas kernel; everything else falls back to the exact-same-math XLA
+    path. ``block_n``/``block_k`` default to the contiguity-maximizing
+    plan of :func:`_plan_blocks`; pass explicit values only to pin a
+    specific tiling (tests).
 
     ``impl="xla"`` skips the Pallas kernel entirely: ``pallas_call`` is a
     custom call the SPMD partitioner can't split, so any computation whose
@@ -271,16 +317,20 @@ def int8_matmul(
     lead = x.shape[:-1]
     K = x.shape[-1]
     N = q.shape[1]
-    # Shrink blocks to fit the dim: Llama-2-7B's ffn/vocab dims (11008,
-    # 32000) are 256- but not 512-aligned — a fixed block would silently
-    # route exactly the largest kernels to the XLA fallback.
-    block_n = _fit_block(N, block_n)
-    block_k = _fit_block(K, block_k)
     x2 = x.reshape(-1, K)
     M = x2.shape[0]
     # Sublane-pad M (bf16 tile height 16) so tiny decode batches still take
     # the kernel; pad rows multiply zeros and are sliced off.
     bm = min(block_m, max(16, -(-M // 16) * 16))
+    if block_n is None and block_k is None:
+        plan = _plan_blocks(K, N, bm)
+        block_n, block_k = plan if plan else (512, 256)
+    else:
+        # Explicit blocks: shrink to fit the dim (Llama-2-7B's ffn/vocab
+        # dims 11008/32000 are 256- but not 512-aligned — a fixed block
+        # would silently route exactly the largest kernels to XLA).
+        block_n = _fit_block(N, block_n or 512)
+        block_k = _fit_block(K, block_k or 256)
     Mp = -(-M // bm) * bm
     if Mp != M and _pallas_viable(Mp, K, N, bm, block_n, block_k):
         x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))

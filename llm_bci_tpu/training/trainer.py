@@ -127,13 +127,22 @@ class _LaggedMetricReadback:
     def add(self, ctx, outputs, prepared=None, age=True):
         """Queue one entry. ``age=False`` skips the aging drain (chained
         appends: draining a just-appended entry would block on the chained
-        program dispatched right before)."""
+        program dispatched right before).
+
+        The aging drain keeps the NEWEST ``lag-1`` entries pending: a
+        drained entry is then at least ``lag-1`` dispatches old, so its
+        ``device_get`` finds a completed step instead of blocking until the
+        device catches up to one dispatched a single step ago (which would
+        collapse the async pipeline to depth 1 at every drain). The
+        fetched-oldest-first order and at-most-``lag+1``-pinned-outputs
+        memory bound are unchanged."""
         self.pending.append(
             (ctx, outputs, self.prepare(outputs) if prepared is None else prepared)
         )
         if age and len(self.pending) > self.lag:
-            self._drain(self.pending[:-1])
-            del self.pending[:-1]
+            cut = len(self.pending) - max(1, self.lag - 1)
+            self._drain(self.pending[:cut])
+            del self.pending[:cut]
 
     def flush_if_exceeds(self, extra: int) -> None:
         """Flush everything now if ``extra`` more entries would pass the lag."""

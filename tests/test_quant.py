@@ -57,6 +57,47 @@ def test_int8_matmul_pallas_interpret_matches_xla():
     np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_xla), rtol=1e-5)
 
 
+def test_plan_blocks_maximizes_row_contiguity():
+    """The auto planner picks bn-first (the contiguous span of a (K, N)
+    row-major weight block): whole rows when they fit the VMEM budget,
+    and the largest 128-multiple divisor otherwise. Fixed small bn was
+    the round-3 int8-decode regression (256-byte strided HBM reads)."""
+    # decode (bm=16): whole-row blocks for every Llama proj shape
+    assert quant._plan_blocks(1024, 1024, 16) == (1024, 1024)
+    assert quant._plan_blocks(1024, 256, 16) == (256, 1024)
+    assert quant._plan_blocks(1024, 2816, 16) == (2816, 512)
+    assert quant._plan_blocks(2816, 1024, 16) == (1024, 1408)
+    # lm_head: 32000 has no whole-row fit; 16000-byte runs, 2 MB blocks
+    assert quant._plan_blocks(1024, 32000, 16) == (16000, 128)
+    # true 7B dims stay fully contiguous
+    assert quant._plan_blocks(4096, 4096, 16) == (4096, 512)
+    assert quant._plan_blocks(4096, 11008, 16) == (11008, 128)
+    # training bm: the f32 accumulator budget caps bn
+    bn, bk = quant._plan_blocks(1024, 32000, 256)
+    assert bn * 256 * 4 <= quant._ACC_BLOCK_BUDGET
+    assert 32000 % bn == 0 and 1024 % bk == 0
+    # shapes with no 128-multiple divisor -> None -> XLA fallback
+    assert quant._plan_blocks(100, 200, 16) is None
+
+
+def test_int8_matmul_planned_blocks_interpret_matches_xla():
+    """Interpret-mode check of the kernel at an auto-planned whole-row
+    tiling (bn == N), the layout the decode path now uses."""
+    rng = np.random.default_rng(7)
+    w = rng.normal(0, 0.05, size=(256, 1536)).astype(np.float32)
+    x = rng.normal(size=(8, 256)).astype(np.float32)
+    q, s = quant.quantize_int8(w)
+    args = (jnp.asarray(x), jnp.asarray(q), jnp.asarray(s))
+    assert quant._plan_blocks(256, 1536, 16) == (1536, 256)
+    y_xla = quant.int8_matmul(*args, impl="xla")
+    quant.set_interpret_mode(True)
+    try:
+        y_pl = quant.int8_matmul(*args)
+    finally:
+        quant.set_interpret_mode(False)
+    np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_xla), rtol=1e-5)
+
+
 def test_int8_matmul_grad_is_dequant_grad():
     rng = np.random.default_rng(3)
     w = rng.normal(0, 0.05, size=(64, 96)).astype(np.float32)
