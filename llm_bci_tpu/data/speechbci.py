@@ -173,15 +173,50 @@ _ARPABET_DICT_PATH = os.path.join(os.path.dirname(__file__), "arpabet_dict.txt")
 _CMUDICT_PATH = os.path.join(os.path.dirname(__file__), "cmudict.txt")
 
 
+def _strip_stress(phone: str) -> str:
+    return phone.rstrip("012")
+
+
+# English suffix phonology: voicing of -s/-ed assimilates to the stem's
+# final sound, and a syllable is inserted after homorganic codas.
+_SIBILANTS = frozenset({"S", "Z", "SH", "ZH", "CH", "JH"})
+_VOICELESS = frozenset({"P", "T", "K", "F", "TH", "S", "SH", "CH", "HH"})
+
+
+def _s_suffix_phones(base_phones: List[str]) -> List[str]:
+    """-s / -es / possessive 's: IH0 Z after sibilants, S after voiceless
+    consonants, Z elsewhere (vowels and voiced consonants)."""
+    last = _strip_stress(base_phones[-1])
+    if last in _SIBILANTS:
+        return ["IH0", "Z"]
+    if last in _VOICELESS:
+        return ["S"]
+    return ["Z"]
+
+
+def _ed_suffix_phones(base_phones: List[str]) -> List[str]:
+    """-ed: IH0 D after T/D, T after voiceless consonants, D elsewhere."""
+    last = _strip_stress(base_phones[-1])
+    if last in ("T", "D"):
+        return ["IH0", "D"]
+    if last in _VOICELESS:
+        return ["T"]
+    return ["D"]
+
+
 class DictionaryG2P:
     """Dictionary-backed grapheme→phoneme with the ``g2p_en`` call protocol
     (phonemes with stress digits, ``" "`` tokens at word boundaries).
 
     Lookup order: the vendored hand-vetted subset (:data:`_ARPABET_DICT_PATH`)
     merged under a full CMUdict if present (``data/cmudict.txt`` or
-    ``$LLM_BCI_CMUDICT``); out-of-vocabulary words go through the NRL-style
-    rule engine (:class:`llm_bci_tpu.data.lts.RuleLTS`) or raise, depending
-    on ``oov``:
+    ``$LLM_BCI_CMUDICT``); then **morphological derivation** — inflected and
+    derived forms (plural -s/-es, past -ed, -ing, -er/-est, -ly, -ness/
+    -ment/-ful/-less, clitics like N'T/'LL) resolve through a dictionary
+    BASE word plus English suffix phonology (:meth:`_derive`), which is far
+    more accurate than spelling rules; only words neither listed nor
+    derivable go through the NRL-style rule engine
+    (:class:`llm_bci_tpu.data.lts.RuleLTS`) or raise, depending on ``oov``:
 
     * ``"raise"`` (default here): OOV is an error — a competition run should
       not silently mix approximate labels with dictionary labels.
@@ -208,6 +243,7 @@ class DictionaryG2P:
         self.oov = oov
         self._lts = RuleLTS()
         self.oov_words: set = set()
+        self.derived_words: set = set()  # labeled via morphological derivation
         self.entries: Dict[str, List[str]] = {}
         paths = [dict_path or _ARPABET_DICT_PATH]
         full = os.environ.get("LLM_BCI_CMUDICT", _CMUDICT_PATH)
@@ -240,6 +276,10 @@ class DictionaryG2P:
             key = word.upper().strip(".,!?;:\"")
             phones = self.entries.get(key)
             if phones is None:
+                phones = self._derive(key)
+                if phones is not None:
+                    self.derived_words.add(key)
+            if phones is None:
                 oov.append(word)
                 if self.oov == "raise":
                     continue
@@ -263,6 +303,132 @@ class DictionaryG2P:
                     )
         self.oov_words.update(oov)
         return out
+
+    # -------------------------------------------------------- morphology
+    def _lookup(self, base: str, depth: int) -> Optional[List[str]]:
+        """Dictionary entry for ``base``, optionally via one more level of
+        derivation (so e.g. PLAYERS resolves as (PLAY+ER)+S)."""
+        if len(base) < 2:
+            return None  # too short to be a stem ("IS" must not split I+S)
+        phones = self.entries.get(base)
+        if phones is None and depth > 0:
+            phones = self._derive(base, depth - 1)
+        return phones
+
+    def _derive(self, word: str, depth: int = 1) -> Optional[List[str]]:
+        """Pronounce an inflected/derived form from a dictionary BASE word
+        plus English suffix phonology — far more accurate than the
+        letter-to-sound rules, which only see spelling. Returns ``None``
+        when no suffix pattern resolves to a dictionary stem (the caller
+        then falls through to the OOV policy).
+
+        Covers the regular inflections (the reference's ``g2p_en`` handles
+        these through its dictionary+model, ``data_utils/
+        speechbci_dataset.py:142-168``): plural/3sg/possessive -s/-es with
+        sibilant/voicing assimilation, past -ed (T/D/IH-D), -ing, -er/-est
+        (with drop-e, doubled-consonant and Y→I stem spellings), adverbial
+        -ly, -ness/-ment/-ful/-less, and the clitics 'S 'LL 'VE 'RE 'D N'T."""
+        w = word
+        lk = self._lookup
+
+        def first(tail_fn, *stems):
+            for stem in stems:
+                if not stem:
+                    continue
+                b = lk(stem, depth)
+                if b:
+                    return b + tail_fn(b)
+            return None
+
+        def dedouble(stem: str) -> Optional[str]:
+            # RUNN -> RUN, STOPP -> STOP (doubled final consonant spelling)
+            if len(stem) >= 3 and stem[-1] == stem[-2] and stem[-1] not in "AEIOUSY":
+                return stem[:-1]
+            return None
+
+        plural = _s_suffix_phones
+        past = _ed_suffix_phones
+        const = lambda tail: (lambda b: list(tail))
+
+        # Clitics first: the apostrophe pins the split point exactly.
+        for suf, tail in (
+            ("'S", None), ("N'T", ["AH0", "N", "T"]), ("'LL", ["AH0", "L"]),
+            ("'VE", ["AH0", "V"]), ("'RE", ["ER0"]), ("'D", ["D"]),
+        ):
+            if w.endswith(suf):
+                got = first(plural if tail is None else const(tail), w[: -len(suf)])
+                if got:
+                    return got
+        # Y-stem spellings (CARRIED/CITIES/HAPPIER/HAPPIEST/HAPPILY).
+        for suf, tail_fn in (
+            ("IEST", const(["AH0", "S", "T"])), ("IES", plural), ("IED", past),
+            ("IER", const(["ER0"])),
+        ):
+            if w.endswith(suf):
+                got = first(tail_fn, w[: -len(suf)] + "Y")
+                if got:
+                    return got
+        if w.endswith("ILY"):
+            b = lk(w[:-3] + "Y", depth)
+            if b:  # HAPPY -> HAPP(Y->AH0)+L IY0: HH AE1 P AH0 L IY0
+                core = b[:-1] + ["AH0"] if _strip_stress(b[-1]) == "IY" else list(b)
+                return core + ["L", "IY0"]
+        if w.endswith("ING") and len(w) > 4:
+            stem = w[:-3]
+            # drop-e only from 3+ letter stems: THING must not parse THE+ING
+            got = first(const(["IH0", "NG"]), stem,
+                        stem + "E" if len(stem) >= 3 else None, dedouble(stem))
+            if got:
+                return got
+        if w.endswith("EST") and len(w) > 4:
+            stem = w[:-3]
+            got = first(const(["AH0", "S", "T"]), stem,
+                        stem + "E" if len(stem) >= 3 else None, dedouble(stem))
+            if got:
+                return got
+        if w.endswith("ED") and len(w) > 3:
+            stem = w[:-2]
+            got = first(past, stem, stem + "E", dedouble(stem))
+            if got:
+                return got
+        if w.endswith("ES") and len(w) > 3:
+            # Try the -S reading first (MAKES -> MAKE + S), then the -ES
+            # syllabic reading (BUSES -> BUS + IH0 Z).
+            got = first(plural, w[:-1], w[:-2])
+            if got:
+                return got
+        for suf, tail in (
+            ("NESS", ["N", "AH0", "S"]), ("MENT", ["M", "AH0", "N", "T"]),
+            ("LESS", ["L", "AH0", "S"]), ("FUL", ["F", "AH0", "L"]),
+        ):
+            if w.endswith(suf) and len(w) > len(suf) + 1:
+                got = first(const(tail), w[: -len(suf)])
+                if got:
+                    return got
+        if w.endswith("LY") and len(w) > 3:
+            b = lk(w[:-2], depth)
+            if b is None:  # SIMPLY -> SIMPLE: ...AH0 L collapses to L IY0
+                b = lk(w[:-2] + "LE", depth)
+                if b and b[-2:] and _strip_stress(b[-1]) == "L" and _strip_stress(b[-2]) == "AH":
+                    return b[:-2] + ["L", "IY0"]
+                b = None
+            if b:  # -LLY spellings (REAL+LY): the double L is one phone
+                if _strip_stress(b[-1]) == "L":
+                    return b + ["IY0"]
+                return b + ["L", "IY0"]
+        if w.endswith("ER") and not w.endswith("EER") and len(w) > 4:
+            # -EER words (BEER, CAREER, ENGINEER) are not agent nouns; and
+            # 3-letter -ER words never decompose (HER, PER).
+            stem = w[:-2]
+            got = first(const(["ER0"]), stem if len(stem) >= 3 else None,
+                        stem + "E", dedouble(stem))
+            if got:
+                return got
+        if w.endswith("S") and not w.endswith("SS") and len(w) > 2:
+            got = first(plural, w[:-1])
+            if got:
+                return got
+        return None
 
 
 def create_phonemes_ctc_labels(

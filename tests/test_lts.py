@@ -115,3 +115,81 @@ def test_dictionary_g2p_merges_user_cmudict(tmp_path, monkeypatch):
     assert g2p("tomato") == ["T", "AH0", "M", "EY1", "T", "OW2"]
     # vendored entries still present
     assert g2p("hello")
+
+
+def test_morphological_derivation_from_dictionary_bases():
+    """Inflected forms not listed in the dictionary derive from a dictionary
+    BASE word + English suffix phonology (voicing assimilation for -s/-ed,
+    syllabic IH0-Z/IH0-D after sibilants/homorganic codas, Y->I stem
+    spellings, doubled consonants, drop-e, clitics)."""
+    from llm_bci_tpu.data.speechbci import DictionaryG2P
+
+    g = DictionaryG2P(oov="raise")
+    # Remove forms so each case exercises derivation, not a dictionary hit.
+    for w in ("BUSES", "HAPPIER", "HAPPIEST", "HAPPILY", "WALKED", "PLAYERS",
+              "MAKING", "RUNNING", "CITIES", "KINDNESS", "REALLY", "LOVED",
+              "SHOULDN'T"):
+        g.entries.pop(w, None)
+    cases = {
+        "walked": "W AO1 K T",            # voiceless stem -> T
+        "loved": "L AH1 V D",             # voiced stem -> D
+        "buses": "B AH1 S IH0 Z",         # sibilant stem -> IH0 Z
+        "cities": "S IH1 T IY0 Z",        # Y->IES spelling
+        "running": "R AH1 N IH0 NG",      # doubled consonant
+        "making": "M EY1 K IH0 NG",       # drop-e
+        "happier": "HH AE1 P IY0 ER0",    # Y->IER
+        "happiest": "HH AE1 P IY0 AH0 S T",
+        "happily": "HH AE1 P AH0 L IY0",  # Y->ILY with IY->AH0 reduction
+        "really": "R IY1 L IY0",          # -LLY: double L is one phone
+        "players": "P L EY1 ER0 Z",       # two-level: (PLAY+ER)+S
+        "kindness": "K AY1 N D N AH0 S",
+        "shouldn't": "SH UH1 D AH0 N T",  # clitic N'T
+    }
+    for word, want in cases.items():
+        assert " ".join(g(word)) == want, word
+        assert word.upper() in g.derived_words
+    assert not g.oov_words
+
+
+def test_morphology_no_false_decompositions():
+    """Words that merely END in a suffix string must not mis-derive: short
+    stems, -EER nouns, and -SS words are excluded; unknown-stem words stay
+    OOV for the raise policy."""
+    from llm_bci_tpu.data.speechbci import DictionaryG2P
+
+    g = DictionaryG2P(oov="raise")
+    g.entries.pop("THING", None)
+    assert g._derive("THING") is None  # not THE+ING
+    for w in ("beer", "career", "engineer"):
+        g.entries.pop(w.upper(), None)
+        with pytest.raises(ValueError):
+            g(w)  # -EER never parses as agent noun; stays OOV
+        g.oov_words.clear()
+    with pytest.raises(ValueError):
+        g("zyzzyvas")  # unknown stem: the -S rule alone cannot invent one
+
+
+def test_morphology_agreement_with_dictionary_inflections():
+    """Self-validating floor: every dictionary word that IS a regular
+    inflection of another dictionary word must derive (entry removed) to a
+    pronunciation matching its own listing — >=83% exactly, >=96% within
+    one phone edit (stress-stripped). Pins measured quality so rule edits
+    can't silently regress."""
+    from llm_bci_tpu.data.speechbci import DictionaryG2P
+
+    g = DictionaryG2P(oov="raise")
+    strip = lambda ph: [re.sub(r"\d", "", x) for x in ph]
+    total = exact = within1 = 0
+    for word, phones in list(g.entries.items()):
+        saved = g.entries.pop(word)
+        derived = g._derive(word)
+        g.entries[word] = saved
+        if derived is None:
+            continue
+        total += 1
+        dist = _edit(strip(derived), strip(phones))
+        exact += dist == 0
+        within1 += dist <= 1
+    assert total > 1000  # the sweep is meaningful
+    assert exact / total >= 0.83, f"{exact}/{total}"
+    assert within1 / total >= 0.96, f"{within1}/{total}"
