@@ -373,22 +373,31 @@ class DictionaryG2P:
             if b:  # HAPPY -> HAPP(Y->AH0)+L IY0: HH AE1 P AH0 L IY0
                 core = b[:-1] + ["AH0"] if _strip_stress(b[-1]) == "IY" else list(b)
                 return core + ["L", "IY0"]
+        # For the e-dropping suffixes the SILENT-E base is tried BEFORE the
+        # bare-spelling stem: when both are dictionary words the e-base is
+        # the right parse (RATED->RATE not RAT, STARING->STARE not STAR,
+        # CUTEST->CUTE not CUT), because a bare CVC stem would have doubled
+        # its final consonant in the inflection (RATTED, STARRING, CUTTEST)
+        # and the rare true collisions keep their e in standard spelling
+        # precisely to disambiguate (SINGE->SINGEING vs SING->SINGING).
         if w.endswith("ING") and len(w) > 4:
             stem = w[:-3]
             # drop-e only from 3+ letter stems: THING must not parse THE+ING
-            got = first(const(["IH0", "NG"]), stem,
-                        stem + "E" if len(stem) >= 3 else None, dedouble(stem))
+            got = first(const(["IH0", "NG"]),
+                        stem + "E" if len(stem) >= 3 else None, stem,
+                        dedouble(stem))
             if got:
                 return got
         if w.endswith("EST") and len(w) > 4:
             stem = w[:-3]
-            got = first(const(["AH0", "S", "T"]), stem,
-                        stem + "E" if len(stem) >= 3 else None, dedouble(stem))
+            got = first(const(["AH0", "S", "T"]),
+                        stem + "E" if len(stem) >= 3 else None, stem,
+                        dedouble(stem))
             if got:
                 return got
         if w.endswith("ED") and len(w) > 3:
             stem = w[:-2]
-            got = first(past, stem, stem + "E", dedouble(stem))
+            got = first(past, stem + "E", stem, dedouble(stem))
             if got:
                 return got
         if w.endswith("ES") and len(w) > 3:
@@ -420,8 +429,8 @@ class DictionaryG2P:
             # -EER words (BEER, CAREER, ENGINEER) are not agent nouns; and
             # 3-letter -ER words never decompose (HER, PER).
             stem = w[:-2]
-            got = first(const(["ER0"]), stem if len(stem) >= 3 else None,
-                        stem + "E", dedouble(stem))
+            got = first(const(["ER0"]), stem + "E",
+                        stem if len(stem) >= 3 else None, dedouble(stem))
             if got:
                 return got
         if w.endswith("S") and not w.endswith("SS") and len(w) > 2:

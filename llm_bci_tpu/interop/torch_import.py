@@ -107,12 +107,28 @@ def load_saved_component_config(load_dir: str, component: str) -> Optional[Dict]
     ppath = os.path.join(load_dir, f"{component}_config.pth")
     if os.path.isfile(ppath):
         return _torch_pickled_config(ppath)
-    # Loud, not fatal: a missing saved config is legitimate (the reference
-    # never writes a projector config; training.component_blobs=false STEP
-    # dirs carry only the Orbax state) — but silently building from the
-    # live/default config instead of the trained one is exactly how a
-    # structurally different model loads shape-matching weights without
-    # any error, so the caller's re-merge skip must be visible.
+    # A missing saved config is legitimate only when there are no trained
+    # weights here to mis-match: the reference never writes a projector
+    # config (``models/bci.py:258`` saves decoder+encoder configs only),
+    # and ``training.component_blobs=false`` STEP dirs carry neither blobs
+    # nor component configs (train_state/ has the full state). When the
+    # dir DOES hold this component's weights, building from the
+    # live/default config is exactly how a structurally different model
+    # loads shape-matching weights without any error — hard-fail instead.
+    has_weights = any(
+        os.path.isfile(os.path.join(load_dir, f"{component}.{ext}"))
+        for ext in ("bin", "msgpack")
+    )
+    if has_weights and component != "projector":
+        raise FileNotFoundError(
+            f"from_pt dir {load_dir!r} holds {component} weights but no "
+            f"saved '{component}' config ({component}_config.yaml/.pth): "
+            "refusing to graft trained weights onto the live/default "
+            "config — shape-compatible architecture drift (e.g. a "
+            "different n_heads) would load silently wrong. Copy the saved "
+            "config next to the weights, or point from_pt at the full "
+            "checkpoint dir."
+        )
     import warnings
 
     warnings.warn(

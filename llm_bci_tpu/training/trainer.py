@@ -93,8 +93,9 @@ class _LaggedMetricReadback:
     ``add(ctx, outputs)`` dispatches every metric fn's ``prepare`` hook right
     behind the step that produced ``outputs`` (so its device work queues
     behind the step, not behind a later in-flight one), starts the async
-    host copies, and ages entries: once more than ``lag`` are pending, the
-    older ones fetch in ONE ``jax.device_get``. ``consume(ctx, outputs,
+    host copies, and ages entries: once ``lag`` entries have accumulated
+    beyond the pipelining floor, they fetch in ONE ``jax.device_get``
+    (one device round trip per ``lag`` steps). ``consume(ctx, outputs,
     prep_host, scalars)`` runs per drained entry, in order — per-entry
     metric VALUES and ordering are identical to an unlagged loop.
     ``want_scalars`` additionally fetches ``(loss, n_examples)`` per entry
@@ -129,18 +130,21 @@ class _LaggedMetricReadback:
         appends: draining a just-appended entry would block on the chained
         program dispatched right before).
 
-        The aging drain keeps the NEWEST ``lag-1`` entries pending: a
-        drained entry is then at least ``lag-1`` dispatches old, so its
-        ``device_get`` finds a completed step instead of blocking until the
-        device catches up to one dispatched a single step ago (which would
-        collapse the async pipeline to depth 1 at every drain). The
-        fetched-oldest-first order and at-most-``lag+1``-pinned-outputs
-        memory bound are unchanged."""
+        The aging drain keeps the NEWEST ``max(1, lag-1)`` entries pending
+        (so a drained entry is always that many dispatches old and its
+        ``device_get`` finds a completed step instead of collapsing the
+        async pipeline to depth 1) and it only FIRES once ``lag`` entries
+        beyond that floor have accumulated — each fetch then moves ``lag``
+        entries in ONE ``jax.device_get``, which is the whole
+        amortization: one device round trip per ``lag`` steps, not one
+        every other step. Fetched-oldest-first order is unchanged; the
+        memory bound is at most ``lag + max(1, lag-1)`` pinned outputs."""
         self.pending.append(
             (ctx, outputs, self.prepare(outputs) if prepared is None else prepared)
         )
-        if age and len(self.pending) > self.lag:
-            cut = len(self.pending) - max(1, self.lag - 1)
+        keep = max(1, self.lag - 1)
+        if age and len(self.pending) >= self.lag + keep:
+            cut = len(self.pending) - keep
             self._drain(self.pending[:cut])
             del self.pending[:cut]
 

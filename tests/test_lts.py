@@ -151,6 +151,30 @@ def test_morphological_derivation_from_dictionary_bases():
     assert not g.oov_words
 
 
+def test_morphology_prefers_silent_e_base():
+    """When BOTH the bare stem and the silent-e base are dictionary words,
+    the e-base is the right parse for -ED/-ING/-EST/-ER (a bare CVC stem
+    would have doubled its final consonant: RATTED vs RATED), so the
+    derivation must not label RATED with RAT's vowel."""
+    from llm_bci_tpu.data.speechbci import DictionaryG2P
+
+    g = DictionaryG2P(oov="raise")
+    cases = {
+        "rated": "R EY1 T IH0 D",     # RATE, not RAT
+        "rating": "R EY1 T IH0 NG",
+        "staring": "S T EH1 R IH0 NG",  # STARE, not STAR
+        "cutest": "K Y UW1 T AH0 S T",  # CUTE, not CUT
+        "rider": "R AY1 D ER0",         # RIDE, not RID
+        "taped": "T EY1 P T",           # TAPE, not TAP
+        # and the bare-stem parses must still win when the spelling says so
+        "pinned": "P IH1 N D",          # doubled consonant -> PIN
+        "visited": "V IH1 Z AH0 T IH0 D",  # VISITE is not a word -> VISIT
+    }
+    for word, want in cases.items():
+        g.entries.pop(word.upper(), None)
+        assert " ".join(g(word)) == want, word
+
+
 def test_morphology_no_false_decompositions():
     """Words that merely END in a suffix string must not mis-derive: short
     stems, -EER nouns, and -SS words are excluded; unknown-stem words stay

@@ -220,6 +220,26 @@ def test_load_saved_component_config_formats(tmp_path):
     assert load_saved_component_config(str(tmp_path), "missing") is None
 
 
+def test_load_saved_component_config_missing_next_to_weights(tmp_path):
+    """Weights with NO saved config is a hard error (shape-compatible
+    architecture drift would graft silently wrong) — except for the
+    projector, which the reference never writes a config for."""
+    import warnings
+
+    from llm_bci_tpu.interop import load_saved_component_config
+
+    d = tmp_path / "bare"; d.mkdir()
+    (d / "encoder.msgpack").write_bytes(b"\x80")
+    with pytest.raises(FileNotFoundError, match="no saved 'encoder' config"):
+        load_saved_component_config(str(d), "encoder")
+
+    torch.save({"w": torch.zeros(1)}, str(d / "projector.bin"))
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        assert load_saved_component_config(str(d), "projector") is None
+    assert any("re-merge" in str(w.message) for w in rec)
+
+
 # -------------------------------------------------------- iTransformer ----
 
 

@@ -462,6 +462,38 @@ def test_metric_lag_depth_preserves_values(tmp_path):
     np.testing.assert_allclose(np.asarray(seen1), np.asarray(seen8), rtol=1e-5)
 
 
+def test_metric_lag_batches_one_fetch_per_lag_steps(monkeypatch):
+    """The aging drain must actually AMORTIZE: at steady state one
+    ``jax.device_get`` moves ``lag`` entries every ``lag`` adds (the whole
+    point of the feature on remote-attached devices), while keeping the
+    newest ``lag-1`` pending for pipelining. Pins the drain watermark so a
+    refactor can't quietly degrade it to a fetch every other step (which
+    once happened with every value-preservation test green)."""
+    import jax
+
+    from llm_bci_tpu.training.trainer import _LaggedMetricReadback
+
+    fetches = []
+    real_get = jax.device_get
+    monkeypatch.setattr(jax, "device_get", lambda x: fetches.append(len(x)) or real_get(x))
+
+    consumed = []
+    lag = 4
+    r = _LaggedMetricReadback(
+        {}, lag, lambda ctx, out, prep, scalars: consumed.append(ctx)
+    )
+    n = 100
+    for i in range(n):
+        r.add(i, {"loss": np.float32(i), "n_examples": np.int32(1)})
+    r.flush()
+
+    assert consumed == list(range(n))           # order preserved
+    assert sum(fetches) == n                    # nothing dropped or re-fetched
+    # steady state: one fetch per `lag` adds (plus the warm-up and the flush)
+    assert len(fetches) <= n // lag + 2, fetches
+    assert max(fetches) <= 2 * lag              # bounded memory per fetch
+
+
 def test_component_blobs_false_keeps_orbax_only(tmp_path):
     """training.component_blobs=false skips the reference-layout msgpack
     blobs at save boundaries (their device_get of every param is the one
