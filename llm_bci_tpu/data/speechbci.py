@@ -377,9 +377,13 @@ class DictionaryG2P:
         # bare-spelling stem: when both are dictionary words the e-base is
         # the right parse (RATED->RATE not RAT, STARING->STARE not STAR,
         # CUTEST->CUTE not CUT), because a bare CVC stem would have doubled
-        # its final consonant in the inflection (RATTED, STARRING, CUTTEST)
-        # and the rare true collisions keep their e in standard spelling
-        # precisely to disambiguate (SINGE->SINGEING vs SING->SINGING).
+        # its final consonant in the inflection (RATTED, STARRING, CUTTEST).
+        # INVARIANT this ordering relies on: stems whose e-base changes the
+        # final phone (soft-G -NGE words: SINGE/LUNGE/TINGE vs SING/LUNG)
+        # must have their common inflections listed DIRECTLY in the
+        # dictionary (SINGING, SINGER, LUNGING ...), because e-base-first
+        # would otherwise mis-derive SINGING through SINGE. The vendored
+        # dictionary carries those forms; keep them when editing it.
         if w.endswith("ING") and len(w) > 4:
             stem = w[:-3]
             # drop-e only from 3+ letter stems: THING must not parse THE+ING

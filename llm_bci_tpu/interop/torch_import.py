@@ -108,18 +108,26 @@ def load_saved_component_config(load_dir: str, component: str) -> Optional[Dict]
     if os.path.isfile(ppath):
         return _torch_pickled_config(ppath)
     # A missing saved config is legitimate only when there are no trained
-    # weights here to mis-match: the reference never writes a projector
-    # config (``models/bci.py:258`` saves decoder+encoder configs only),
-    # and ``training.component_blobs=false`` STEP dirs carry neither blobs
-    # nor component configs (train_state/ has the full state). When the
-    # dir DOES hold this component's weights, building from the
-    # live/default config is exactly how a structurally different model
-    # loads shape-matching weights without any error — hard-fail instead.
+    # weights here to mis-match: ``training.component_blobs=false`` STEP
+    # dirs carry neither blobs nor component configs (train_state/ has the
+    # full state). When the dir DOES hold this component's weights,
+    # building from the live/default config is exactly how a structurally
+    # different model loads shape-matching weights without any error —
+    # hard-fail instead. This applies to the projector too: both the
+    # reference (``models/bci.py:257-258`` writes projector.bin AND
+    # projector_config.pth) and our own save always pair projector weights
+    # with a config, so a bare projector blob is anomalous. (The one
+    # config-less artifact the reference produces is NDT1's decoder,
+    # ``models/ndt1.py:688`` — no caller requests a 'decoder' config.)
+    # NOTE: the probe covers the {component}.bin/.msgpack blobs the four
+    # model loaders request; other weight spellings the importer reads
+    # elsewhere (peft adapter_model.*, HF pytorch_model*.bin shards for
+    # the llm component) never route through this function.
     has_weights = any(
         os.path.isfile(os.path.join(load_dir, f"{component}.{ext}"))
         for ext in ("bin", "msgpack")
     )
-    if has_weights and component != "projector":
+    if has_weights:
         raise FileNotFoundError(
             f"from_pt dir {load_dir!r} holds {component} weights but no "
             f"saved '{component}' config ({component}_config.yaml/.pth): "

@@ -131,7 +131,17 @@ def main(args):
         metric_fns["accuracy"] = accuracy
 
     # ------------------------------------------------------ CTC CER metric
-    if config.method.model_kwargs.method_name == "ctc":
+    # Gated on a loaded vocab: the reference's cer closure would hit a
+    # NameError for a ctc run without data.vocab_file (reference main.py:
+    # 67-72 reads `vocab` set only in the speechbci branch) — it only ever
+    # pairs ctc with speechbci. We train fine without the metric and say so.
+    if config.method.model_kwargs.method_name == "ctc" and vocab is None:
+        print(
+            "CTC method without data.vocab_file: skipping the CER metric "
+            "(labels train fine; decode metrics need the phoneme vocab).",
+            flush=True,
+        )
+    if config.method.model_kwargs.method_name == "ctc" and vocab is not None:
 
         def make_cer(n_print_default=0):
             def cer(model, model_inputs, unused_inputs, outputs, **kwargs):

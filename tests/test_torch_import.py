@@ -222,8 +222,10 @@ def test_load_saved_component_config_formats(tmp_path):
 
 def test_load_saved_component_config_missing_next_to_weights(tmp_path):
     """Weights with NO saved config is a hard error (shape-compatible
-    architecture drift would graft silently wrong) — except for the
-    projector, which the reference never writes a config for."""
+    architecture drift would graft silently wrong) — for the projector
+    too: both the reference (models/bci.py:257-258) and our save always
+    write projector weights WITH a config, so a bare blob is anomalous.
+    A config-free dir with no weights still warns-and-returns-None."""
     import warnings
 
     from llm_bci_tpu.interop import load_saved_component_config
@@ -234,9 +236,13 @@ def test_load_saved_component_config_missing_next_to_weights(tmp_path):
         load_saved_component_config(str(d), "encoder")
 
     torch.save({"w": torch.zeros(1)}, str(d / "projector.bin"))
+    with pytest.raises(FileNotFoundError, match="no saved 'projector' config"):
+        load_saved_component_config(str(d), "projector")
+
+    d2 = tmp_path / "noweights"; d2.mkdir()
     with warnings.catch_warnings(record=True) as rec:
         warnings.simplefilter("always")
-        assert load_saved_component_config(str(d), "projector") is None
+        assert load_saved_component_config(str(d2), "projector") is None
     assert any("re-merge" in str(w.message) for w in rec)
 
 

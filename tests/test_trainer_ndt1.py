@@ -721,3 +721,89 @@ def test_preemption_skips_eval_at_boundary(tmp_path):
     trainer.request_preemption()
     trainer.train()
     assert os.path.isdir(str(tmp_path / "ckpt" / "smoke" / "STEP1"))
+
+
+def _spikes_capture(log):
+    """Metric fn that records each step's collated spikes batch."""
+
+    def cap(model, model_inputs, unused_inputs, outputs, **kw):
+        log.append(np.asarray(model_inputs["spikes"]).copy())
+        return 0.0
+
+    return cap
+
+
+def test_resume_reproduces_data_stream_and_params(tmp_path):
+    """Deterministic resume in the STRONG sense (VERDICT r3 #3): a run
+    preempted at step 4 of 7 and resumed must consume byte-identical
+    batches 5-7 (the interrupted epoch's order re-derived statelessly and
+    fast-forwarded, not re-drawn) and end with the same params as the
+    uninterrupted run."""
+    from llm_bci_tpu.training import Trainer
+
+    ds = synth_dataset(n_train=24)  # 3 batches/epoch @ bs 8 → step 4 is mid-epoch-2
+
+    def make_cfg(root, max_steps, save_every=None):
+        cfg = base_config(root)
+        cfg["training"]["max_steps"] = max_steps
+        cfg["training"]["num_epochs"] = 10
+        cfg["training"]["save_every"] = save_every
+        cfg["training"]["metric_lag"] = 1
+        return cfg
+
+    full_log = []
+    t1 = Trainer(
+        make_cfg(tmp_path / "full", 7),
+        dataset=ds, metric_fns={"cap": _spikes_capture(full_log)},
+    )
+    t1.train()
+    assert int(np.asarray(t1.state.step)) == 7 and len(full_log) == 7
+
+    # interrupted leg: same seed/config, stops + saves at step 4
+    cfg_b = make_cfg(tmp_path / "part", 4, save_every=4)
+    part_log = []
+    t2 = Trainer(cfg_b, dataset=ds, metric_fns={"cap": _spikes_capture(part_log)})
+    t2.train()
+    assert int(np.asarray(t2.state.step)) == 4
+
+    # steps 1-4 matched the uninterrupted run (same stateless orders)
+    for a, b in zip(full_log[:4], part_log):
+        np.testing.assert_array_equal(a, b)
+
+    # resumed leg: widened budget, restores step 4, must replay 5-7 exactly
+    cfg_c = make_cfg(tmp_path / "part", 7)
+    resumed_log = []
+    t3 = Trainer(cfg_c, dataset=ds, metric_fns={"cap": _spikes_capture(resumed_log)})
+    assert t3.resume_from() == 4
+    t3.train()
+    assert int(np.asarray(t3.state.step)) == 7
+    assert len(resumed_log) == 3
+    for a, b in zip(full_log[4:], resumed_log):
+        np.testing.assert_array_equal(a, b)
+
+    p1 = np.asarray(next(iter(jax_leaves(t1.state.params))))
+    p3 = np.asarray(next(iter(jax_leaves(t3.state.params))))
+    np.testing.assert_allclose(p1, p3, rtol=1e-6, atol=1e-7)
+
+
+def test_dataloader_stateless_epoch_order():
+    """epoch_order is pure in (seed, epoch); set_epoch(skip_batches=k)
+    fast-forwards exactly k batches of that epoch's order."""
+    from llm_bci_tpu.training.dataloader import HostDataLoader
+
+    data = [{"x": np.asarray([i])} for i in range(10)]
+    collate = lambda rows: [int(r["x"][0]) for r in rows]
+    dl = HostDataLoader(data, batch_size=3, collate_fn=collate, shuffle=True, seed=5)
+    o1, o2 = dl.epoch_order(2), dl.epoch_order(2)
+    np.testing.assert_array_equal(o1, o2)
+    assert not np.array_equal(dl.epoch_order(2), dl.epoch_order(3))
+
+    dl.set_epoch(2)
+    full = list(dl)
+    dl.set_epoch(2, skip_batches=2)
+    tail = list(dl)
+    assert tail == full[2:]
+    # plain iteration advances epochs automatically (3 follows the pinned 2)
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(b) for b in list(dl)]), dl.epoch_order(3)
+    )
