@@ -42,7 +42,7 @@ _CLASS_RE = {
     "+": "[eiy]",
     "&": "(?:ch|sh|[scgzxj])",
     "@": "(?:th|ch|sh|[tsrdlznj])",
-    "%": "(?:ing|ely|ed|es|er|e)(?=s? )",
+    "%": "(?:ing|ely|ed|es|ery|er|e)(?=s? )",
     " ": "[ ]",
 }
 
@@ -88,6 +88,15 @@ _RULES_SRC = [
     _r("", "able", "", "AH", "B", "AH", "L"),
     _r("", "a", "^+:#", "AE"),
     _r(" :", "a", "^+ ", "EY"),
+    _r(" ", "a", "nn", "AH"),
+    _r(" ", "a", "pp", "AH"),
+    _r(" ", "a", "dd", "AH"),
+    _r(" ", "a", "gg", "AH"),
+    _r(" ", "a", "cco", "AH"),
+    _r(" ", "a", "^r", "AH"),
+    _r(" ", "a", "^l", "AH"),
+    _r(" ", "a", "ss", "AH"),
+    _r(" ", "a", "tt", "AH"),
     _r(" ", "arr", "", "AH", "R"),
     _r("", "arr", "", "AE", "R"),
     _r(" :", "ar", " ", "AA", "R"),
@@ -97,9 +106,11 @@ _RULES_SRC = [
     _r("", "ai", "", "EY"),
     _r("", "ay", "", "EY"),
     _r("", "au", "", "AO"),
+    _r("", "at", "or", "EY", "T"),
     _r("#:", "al", " ", "AH", "L"),
     _r("", "al", "f ", "AE"),
     _r("", "alk", "", "AO", "K"),
+    _r("", "al", "c", "AE", "L"),
     _r("", "al", "^", "AO", "L"),
     _r("", "ang", "+", "EY", "N", "JH"),
     _r("", "a", "^en", "EY"),
@@ -111,13 +122,19 @@ _RULES_SRC = [
     _r("", "a", "^e ", "EY"),
     _r("", "a", "^es ", "EY"),
     _r("", "a", "^%", "EY"),
+    _r("#:^", "a", "d ", "AH"),
+    _r("#:^", "a", " ", "AH"),
     _r("", "a", "", "AE"),
     # ---- b
+    _r(" ", "been", " ", "B", "IH", "N"),
     _r(" ", "be", "^#", "B", "IH"),
     _r("", "being", "", "B", "IY", "IH", "NG"),
     _r(" ", "both", " ", "B", "OW", "TH"),
     _r("", "buil", "", "B", "IH", "L"),
+    _r("b", "b", "", ),
+    _r("", "bt", "", "T"),
     _r("m", "b", " ", ),
+    _r("b", "urger", "", "ER", "G", "ER"),
     _r("", "b", "", "B"),
     # ---- c
     _r(" ", "ch", "^", "K"),
@@ -127,17 +144,20 @@ _RULES_SRC = [
     _r("", "ci", "a", "SH"),
     _r("", "ci", "o", "SH"),
     _r("", "ci", "en", "SH"),
+    _r("x", "c", "+", ),
     _r("", "c", "+", "S"),
     _r("", "ck", "", "K"),
     _r("", "com", "%", "K", "AH", "M"),
+    _r("", "cc", "+", "K", "S"),
     _r("", "c", "c", ),  # double c: first silent ("account")
     _r("", "c", "", "K"),
     # ---- d
-    _r("#:", "ded", " ", "D", "IH", "D"),
+    _r("#:", "ded", " ", "D", "AH", "D"),
     _r("", "dia", "", "D", "AY", "AH"),
     _r(".e", "d", " ", "D"),
     _r("#e", "d", " ", "D"),
     _r("#:^e", "d", " ", "T"),
+    _r(" ", "de", "s^", "D", "IH"),
     _r(" ", "de", "^#", "D", "IH"),
     _r(" ", "do", " ", "D", "UW"),
     _r(" ", "does", "", "D", "AH", "Z"),
@@ -153,11 +173,15 @@ _RULES_SRC = [
     # unstressed suffixes: a later syllable after the (stressed) first vowel
     # reduces to AH (left context "#:^" requires an earlier vowel, so
     # one-syllable words like "went"/"sense" keep their full vowel)
+    _r("i", "e", "n", "AH"),
     _r("#:^", "ence", " ", "AH", "N", "S"),
     _r("#:^", "ency", " ", "AH", "N", "S", "IY"),
     _r("#:^", "ent", " ", "AH", "N", "T"),
     _r("#:^", "ent", "s ", "AH", "N", "T"),
     _r("#:^", "ently", " ", "AH", "N", "T", "L", "IY"),
+    _r(" ", "ex", "^", "IH", "K", "S"),
+    _r(" ", "emb", "", "IH", "M", "B"),
+    _r(" ", "e", "lec", "IH"),
     _r(" ", "ex", "h#", "IH", "G", "Z"),
     _r(" ", "ex", "#", "IH", "G", "Z"),
     _r("#", "ed", " ", "D"),
@@ -166,19 +190,25 @@ _RULES_SRC = [
     _r("", "eri", "#", "IY", "R", "IY"),
     _r("", "eri", "", "EH", "R", "IH"),
     _r("#:", "er", "#", "ER"),
+    _r("", "err", "y", "EH", "R"),
     _r("", "er", "#", "EH", "R"),
     _r("", "er", "", "ER"),
     _r(" ", "even", "", "IY", "V", "EH", "N"),
     _r("#:", "e", "w", ),
     _r("@", "ew", "", "UW"),
     _r("", "ew", "", "Y", "UW"),
+    _r("g", "eo", "n", "AH"),
     _r("", "e", "o", "IY"),
-    _r("#:&", "es", " ", "IH", "Z"),
+    _r("#:&", "es", " ", "AH", "Z"),
     _r("#:", "e", "s ", ),
     _r("#:", "ely", " ", "L", "IY"),
-    _r("#:", "ement", "", "M", "EH", "N", "T"),
+    _r("#:", "ement", "", "M", "AH", "N", "T"),
+    _r("#:^", "e", "t ", "AH"),
+    _r("#:^", "e", "l ", "AH"),
+    _r("#:^", "e", "m ", "AH"),
     _r("#:^", "en", " ", "AH", "N"),
-    _r("", "eful", "", "F", "UH", "L"),
+    _r("", "eful", "", "F", "AH", "L"),
+    _r("", "eer", "", "IH", "R"),
     _r("", "ee", "", "IY"),
     _r("", "earn", "", "ER", "N"),
     _r(" ", "ear", "^", "ER"),
@@ -186,6 +216,13 @@ _RULES_SRC = [
     _r("", "ear", "ch", "ER"),
     _r("", "ead", "", "EH", "D"),
     _r("#:", "ea", " ", "IY", "AH"),
+    _r("cr", "ea", "ti", "IY", "EY"),
+    _r("cr", "ea", "te", "IY", "EY"),
+    _r("", "ea", "ven", "EH"),
+    _r("", "ea", "vy", "EH"),
+    _r("", "ea", "lth", "EH"),
+    _r("", "ea", "th", "EH"),
+    _r("", "ea", "san", "EH"),
     _r("", "ea", "su", "EH"),
     _r("", "ea", "", "IY"),
     _r("", "eigh", "", "EY"),
@@ -197,7 +234,9 @@ _RULES_SRC = [
     _r("", "e", "^%", "IY"),
     _r("", "e", "", "EH"),
     # ---- f
-    _r("", "ful", "", "F", "UH", "L"),
+    _r("", "full", "", "F", "UH", "L"),
+    _r("", "front", "", "F", "R", "AH", "N", "T"),
+    _r("", "ful", "", "F", "AH", "L"),
     _r("f", "f", "", ),
     _r("", "f", "", "F"),
     # ---- g
@@ -228,13 +267,18 @@ _RULES_SRC = [
     _r("", "ier", "", "IY", "ER"),
     _r("#:r", "ied", "", "IY", "D"),
     _r("", "ied", " ", "AY", "D"),
-    _r("", "ien", "", "IY", "EH", "N"),
+    _r(" :^", "i", "en", "AY"),
+    _r("qu", "i", "e", "AY"),
+    _r("", "ien", "", "IY", "AH", "N"),
     _r("#:^", "ive", " ", "IH", "V"),
     _r("#:^", "ive", "s ", "IH", "V"),
     _r("#:^", "ively", " ", "IH", "V", "L", "IY"),
     _r("#:^", "ity", " ", "AH", "T", "IY"),
     _r("#:^", "ities", " ", "AH", "T", "IY", "Z"),
+    _r("", "i", "zation", "AH"),
+    _r("", "ically", "", "IH", "K", "L", "IY"),
     _r("", "ie", "t", "AY", "EH"),
+    _r("#:^", "i", "ble", "AH"),
     _r(" :", "i", "%", "AY"),
     _r("", "i", "%", "IY"),
     _r("", "ie", "", "IY"),
@@ -244,14 +288,25 @@ _RULES_SRC = [
     _r("", "ign", "^", "AY", "N"),
     _r("", "ign", "%", "AY", "N"),
     _r("", "ique", "", "IY", "K"),
+    _r("", "ire", "", "AY", "ER"),
     _r("", "ir", "#", "AY", "R"),
     _r("", "ir", "", "ER"),
     _r("", "i", "^e ", "AY"),
     _r("", "i", "^es ", "AY"),
     _r("", "i", "^+:#", "IH"),
     _r("+^", "i", "^+", "IH"),
-    _r("#:^", "i", "^+", "IH"),
+    _r("#:^", "i", "st ", "AH"),
+    _r("#:^", "i", "l ", "AH"),
+    _r("#:^", "i", "n ", "AH"),
+    _r("#:^", "i", "^#", "AH"),
     _r("", "i", "^+", "AY"),
+    _r("m", "i", "t ", "IH"),
+    _r("#:^", "i", "t ", "AH"),
+    _r("mp", "i", "o", "IY"),
+    _r("ll", "ia", "", "Y", "AH"),
+    _r("ll", "i", "o", "Y"),
+    _r("n", "i", "o", "Y"),
+    _r("", "i", "o", "AY"),
     _r("", "i", "", "IH"),
     # ---- j
     _r("", "j", "", "JH"),
@@ -259,13 +314,19 @@ _RULES_SRC = [
     _r(" ", "k", "n", ),
     _r("", "k", "", "K"),
     # ---- l
+    _r(" ", "louis", " ", "L", "UW", "IH", "S"),
     _r("l", "l", "", ),
+    _r("ow", "l", "", "L"),
+    _r("r", "l", "%", "L"),
     _r("#:^", "l", "% ", "AH", "L"),
     _r("", "logue", "", "L", "AO", "G"),
     _r("#:^", "less", " ", "L", "AH", "S"),
     _r("", "lead", "", "L", "IY", "D"),
     _r("", "l", "", "L"),
     # ---- m
+    _r(" ", "maybe", " ", "M", "EY", "B", "IY"),
+    _r("#:^", "ment", "s ", "M", "AH", "N", "T"),
+    _r("#:^", "ment", " ", "M", "AH", "N", "T"),
     _r("", "mov", "", "M", "UW", "V"),
     _r("m", "m", "", ),
     _r("", "m", "", "M"),
@@ -275,6 +336,7 @@ _RULES_SRC = [
     _r("", "ng", "#", "NG", "G"),
     _r("", "ngl", "%", "NG", "G", "AH", "L"),
     _r("", "ng", "", "NG"),
+    _r("", "nc", "t", "NG", "K"),
     _r("", "nk", "", "NG", "K"),
     _r("", "ness", " ", "N", "AH", "S"),
     _r("", "ness", "es ", "N", "AH", "S"),
@@ -282,6 +344,7 @@ _RULES_SRC = [
     _r("n", "n", "", ),
     _r("", "n", "", "N"),
     # ---- o
+    _r(" ", "o", "pp", "AH"),
     _r(" ", "oh", " ", "OW"),
     _r(" ", "of", " ", "AH", "V"),
     _r(" ", "one", "", "W", "AH", "N"),
@@ -297,6 +360,9 @@ _RULES_SRC = [
     _r("", "oup", "", "UW", "P"),
     _r("", "ous", "", "AH", "S"),
     _r("", "our", "", "AO", "R"),
+    _r("#:^", "or", "ies", "ER"),
+    _r("#:^", "or", "y", "ER"),
+    _r("#:^", "or", "s ", "ER"),
     _r("#:^", "or", " ", "ER"),
     _r("", "or", "", "AO", "R"),
     _r("^", "ou", "^l", "AH"),
@@ -304,36 +370,48 @@ _RULES_SRC = [
     _r("h", "ou", "s#", "AW"),
     _r("", "ow", " ", "OW"),
     _r("", "ow", "n", "AW"),
+    _r("", "ow", "d", "AW"),
+    _r("", "oll", "%", "OW", "L"),
     _r("", "ow", "", "OW"),
     _r("", "ou", "", "AW"),
     _r("", "oy", "", "OY"),
     _r("", "oing", "", "OW", "IH", "NG"),
     _r("", "oi", "", "OY"),
     _r("", "oor", "", "AO", "R"),
+    _r("w", "oo", "l", "UH"),
     _r("", "ook", "", "UH", "K"),
     _r("", "ood", "", "UH", "D"),
     _r("", "oo", "", "UW"),
     _r("", "on't", "", "OW", "N", "T"),
     _r("", "o", "^en", "OW"),
+    _r("", "olk", "", "OW", "K"),
     _r("", "ol", "d", "OW", "L"),
     _r("", "o", "st ", "OW"),
     _r("", "of", "^", "AO", "F"),
     _r("", "oss", " ", "AO", "S"),
-    _r("c", "o", "n", "AA"),
+    _r("p", "o", "e", "OW"),
+    _r("t", "o", "tal", "OW"),
+    _r("c", "o", "n", "AH"),
+    _r("c", "o", "m^", "AH"),
     _r("", "o", "ng", "AO"),
     _r("i", "on", "", "AH", "N"),
     _r("#:", "on", " ", "AH", "N"),
+    _r("#:^", "o", "p ", "AH"),
     _r("#:^", "om", "", "AH", "M"),
+    _r("", "o", "x", "AA"),
     _r("", "o", "^e ", "OW"),
     _r("", "o", "^es ", "OW"),
     _r("", "o", "^%", "OW"),
     _r("", "o", "^i#", "OW"),
     _r("", "o", "es ", "OW"),
     _r("", "o", "e ", "OW"),
-    _r("", "o", "a", "OW"),
+    _r("br", "oa", "d", "AO"),
+    _r("", "oar", "", "AO", "R"),
+    _r("", "oa", "", "OW"),
     _r("", "o", " ", "OW"),
     _r("", "o", "", "AA"),
     # ---- p
+    _r("", "pretty", "", "P", "R", "IH", "T", "IY"),
     _r("", "ph", "", "F"),
     _r("", "peop", "", "P", "IY", "P"),
     _r("", "pow", "", "P", "AW"),
@@ -345,10 +423,13 @@ _RULES_SRC = [
     _r("", "qu", "", "K", "W"),
     _r("", "q", "", "K"),
     # ---- r
-    _r(" ", "re", "^#", "R", "IY"),
+    _r(" ", "re", "s^", "R", "IH"),
+    _r(" p", "re", "^#", "R", "IH"),
+    _r(" ", "re", "^#", "R", "IH"),
     _r("r", "r", "", ),
     _r("", "r", "", "R"),
     # ---- s
+    _r("", "ssion", "", "SH", "AH", "N"),
     _r("", "sh", "", "SH"),
     _r("#", "sion", "", "ZH", "AH", "N"),
     _r("^", "sion", "", "SH", "AH", "N"),
@@ -359,9 +440,12 @@ _RULES_SRC = [
     _r("#", "su", "#", "ZH", "UW"),
     _r("#", "ssu", "#", "SH", "UW"),
     _r("#", "sed", " ", "Z", "D"),
+    _r(" ", "says", " ", "S", "EH", "Z"),
     _r("", "said", "", "S", "EH", "D"),
     _r("", "sch", "", "S", "K"),
     _r("", "s", "c+", ),
+    _r("y", "s", " ", "Z"),
+    _r("m", "s", "+", "Z"),
     _r("s", "s", "", ),
     _r("#", "s", "#", "Z"),
     _r(".e", "s", " ", "Z"),
@@ -370,7 +454,9 @@ _RULES_SRC = [
     _r("#:.e", "s", " ", "Z"),
     _r("", "s", "", "S"),
     # ---- t
+    _r("", "tch", "", "CH"),
     _r(" ", "the", " ", "DH", "AH"),
+    _r(" ", "to", "day", "T", "AH"),
     _r(" ", "to", " ", "T", "UW"),
     _r(" ", "that", " ", "DH", "AE", "T"),
     _r(" ", "this", " ", "DH", "IH", "S"),
@@ -387,18 +473,22 @@ _RULES_SRC = [
     _r("", "though", " ", "DH", "OW"),
     _r(" ", "thus", "", "DH", "AH", "S"),
     _r("", "th", "", "TH"),
-    _r("#:", "ted", " ", "T", "IH", "D"),
+    _r("#:", "ted", " ", "T", "AH", "D"),
     _r("s", "ti", "#n", "CH"),
     _r("", "ti", "o", "SH"),
     _r("", "ti", "a", "SH"),
     _r("", "tien", "", "SH", "AH", "N"),
+    _r("", "ture", " ", "CH", "ER"),
     _r("", "tur", "#", "CH", "ER"),
     _r("", "tu", "a", "CH", "UW"),
     _r(" ", "two", "", "T", "UW"),
     _r("t", "t", "", ),
     _r("", "t", "", "T"),
     # ---- u
+    _r("g", "u", "+", ),
     _r("", "uy", "", "AY"),
+    _r("", "ui", "", "UW"),
+    _r("u", "e", "sd", ),
     _r(" ", "un", "i", "Y", "UW", "N"),
     _r(" ", "un", "", "AH", "N"),
     _r(" ", "upon", "", "AH", "P", "AO", "N"),
@@ -408,6 +498,7 @@ _RULES_SRC = [
     _r("", "u", "^ ", "AH"),
     _r("", "u", "^^", "AH"),
     _r("@", "u", "", "UW"),
+    _r("", "u", "l#", "Y", "AH"),
     _r("", "u", "^e ", "Y", "UW"),
     _r("", "u", "", "Y", "UW"),
     # ---- v
@@ -418,6 +509,7 @@ _RULES_SRC = [
     _r("", "wa", "sh", "W", "AA"),
     _r("", "wa", "st", "W", "EY"),
     _r("", "wa", "s", "W", "AH"),
+    _r("", "wat", "e", "W", "AO", "T"),
     _r("", "wa", "t", "W", "AA"),
     _r("", "where", "", "W", "EH", "R"),
     _r("", "what", "", "W", "AH", "T"),

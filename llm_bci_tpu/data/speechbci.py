@@ -204,6 +204,30 @@ def _ed_suffix_phones(base_phones: List[str]) -> List[str]:
     return ["D"]
 
 
+# Derivational prefixes: transparent pronunciations prepended to a
+# dictionary stem (UNHAPPY = UN + HAPPY). Stems must be >= _PREFIX_MIN_STEM
+# letters so short words never mis-split (READ must not parse RE+AD);
+# CO requires one more (COAT must not parse CO+AT even if the dictionary
+# lost its COAT entry).
+_PREFIXES = (
+    ("UN", ["AH0", "N"]),
+    ("RE", ["R", "IY1"]),
+    ("DIS", ["D", "IH0", "S"]),
+    ("MIS", ["M", "IH0", "S"]),
+    ("NON", ["N", "AA1", "N"]),
+    ("PRE", ["P", "R", "IY1"]),
+    ("OVER", ["OW1", "V", "ER0"]),
+    ("UNDER", ["AH1", "N", "D", "ER0"]),
+    ("OUT", ["AW1", "T"]),
+    ("SEMI", ["S", "EH1", "M", "IY0"]),
+    ("ANTI", ["AE1", "N", "T", "IY0"]),
+    ("SUPER", ["S", "UW1", "P", "ER0"]),
+    ("SUB", ["S", "AH1", "B"]),
+    ("CO", ["K", "OW1"]),
+)
+_PREFIX_MIN_STEM = 3
+
+
 class DictionaryG2P:
     """Dictionary-backed grapheme→phoneme with the ``g2p_en`` call protocol
     (phonemes with stress digits, ``" "`` tokens at word boundaries).
@@ -212,10 +236,11 @@ class DictionaryG2P:
     merged under a full CMUdict if present (``data/cmudict.txt`` or
     ``$LLM_BCI_CMUDICT``); then **morphological derivation** — inflected and
     derived forms (plural -s/-es, past -ed, -ing, -er/-est, -ly, -ness/
-    -ment/-ful/-less, clitics like N'T/'LL) resolve through a dictionary
-    BASE word plus English suffix phonology (:meth:`_derive`), which is far
-    more accurate than spelling rules; only words neither listed nor
-    derivable go through the NRL-style rule engine
+    -ment/-ful/-less, clitics like N'T/'LL, the prefixes of
+    :data:`_PREFIXES`, and closed compounds like CATFISH/FIREWORKS) resolve
+    through dictionary BASE words plus English affix phonology
+    (:meth:`_derive`), which is far more accurate than spelling rules; only
+    words neither listed nor derivable go through the NRL-style rule engine
     (:class:`llm_bci_tpu.data.lts.RuleLTS`) or raise, depending on ``oov``:
 
     * ``"raise"`` (default here): OOV is an error — a competition run should
@@ -244,6 +269,12 @@ class DictionaryG2P:
         self._lts = RuleLTS()
         self.oov_words: set = set()
         self.derived_words: set = set()  # labeled via morphological derivation
+        # Label provenance (VERDICT r3 #4c): per-OCCURRENCE counts of which
+        # tier labeled each word — "dict" (direct entry), "derived"
+        # (suffix/prefix/compound morphology over dictionary bases), "lts"
+        # (rule engine). create_phonemes_ctc_labels snapshots these per
+        # split so users can see how noisy their labels are.
+        self.tier_counts: Dict[str, int] = {"dict": 0, "derived": 0, "lts": 0}
         self.entries: Dict[str, List[str]] = {}
         paths = [dict_path or _ARPABET_DICT_PATH]
         full = os.environ.get("LLM_BCI_CMUDICT", _CMUDICT_PATH)
@@ -275,15 +306,19 @@ class DictionaryG2P:
                 out.append(" ")
             key = word.upper().strip(".,!?;:\"")
             phones = self.entries.get(key)
-            if phones is None:
+            if phones is not None:
+                self.tier_counts["dict"] += 1
+            else:
                 phones = self._derive(key)
                 if phones is not None:
                     self.derived_words.add(key)
+                    self.tier_counts["derived"] += 1
             if phones is None:
                 oov.append(word)
                 if self.oov == "raise":
                     continue
                 phones = self._lts(key.lower())
+                self.tier_counts["lts"] += 1
             out.extend(phones)
         if oov:
             if self.oov == "raise":
@@ -332,12 +367,21 @@ class DictionaryG2P:
         lk = self._lookup
 
         def first(tail_fn, *stems):
-            for stem in stems:
-                if not stem:
-                    continue
-                b = lk(stem, depth)
-                if b:
-                    return b + tail_fn(b)
+            # Two passes: DIRECT dictionary stems (ground truth) across all
+            # spelling alternatives first, then derived stems (heuristic).
+            # Without this, REACHED's silent-e alternative "REACHE" would
+            # "derive" through the prefix pass as RE+ACHE before the bare
+            # stem REACH — a direct entry — was ever consulted.
+            for lookup in (
+                lambda s: self.entries.get(s) if len(s) >= 2 else None,
+                lambda s: lk(s, depth),
+            ):
+                for stem in stems:
+                    if not stem:
+                        continue
+                    b = lookup(stem)
+                    if b:
+                        return list(b) + tail_fn(b)
             return None
 
         def dedouble(stem: str) -> Optional[str]:
@@ -410,12 +454,30 @@ class DictionaryG2P:
             got = first(plural, w[:-1], w[:-2])
             if got:
                 return got
+        # Whole-word prefix split with a DIRECT dictionary stem
+        # (REAPPLY = RE+APPLY, UNEASY = UN+EASY): placed AFTER the
+        # inflectional suffixes — REACHED must parse REACH+ED, not
+        # RE+ACHED even when ACHED happens to be a dictionary entry — but
+        # BEFORE the -LY/-NESS class, whose stem respelling can otherwise
+        # manufacture a garbage base (-LY turned REAPPLY into "REAPPLE"
+        # and derived THAT through RE+APPLE). Prefixes with DERIVED stems
+        # run again at the bottom, after every suffix pattern.
+        for pre, pre_phones in _PREFIXES:
+            min_stem = _PREFIX_MIN_STEM + (1 if pre == "CO" else 0)
+            if w.startswith(pre) and len(w) >= len(pre) + min_stem:
+                b = self.entries.get(w[len(pre):])
+                if b:
+                    return list(pre_phones) + list(b)
         for suf, tail in (
             ("NESS", ["N", "AH0", "S"]), ("MENT", ["M", "AH0", "N", "T"]),
             ("LESS", ["L", "AH0", "S"]), ("FUL", ["F", "AH0", "L"]),
+            ("SHIP", ["SH", "IH0", "P"]),
         ):
             if w.endswith(suf) and len(w) > len(suf) + 1:
-                got = first(const(tail), w[: -len(suf)])
+                stem = w[: -len(suf)]
+                # I->Y restore: HAPPINESS/LAZINESS spell the -Y stem with I
+                ystem = stem[:-1] + "Y" if stem.endswith("I") else None
+                got = first(const(tail), stem, ystem)
                 if got:
                     return got
         if w.endswith("LY") and len(w) > 3:
@@ -441,6 +503,43 @@ class DictionaryG2P:
             got = first(plural, w[:-1])
             if got:
                 return got
+        # -ABLE/-ABLY (AGREEABLE, LOVABLE, FORGETTABLE): suffix phonology
+        # AH0 B AH0 L — NOT the standalone word ABLE's EY1 — so this must
+        # come before the compound splitter, which would otherwise glue
+        # AGREE+ABLE with the wrong vowel.
+        for suf, tail in (
+            ("ABLE", ["AH0", "B", "AH0", "L"]), ("ABLY", ["AH0", "B", "L", "IY0"]),
+        ):
+            if w.endswith(suf) and len(w) > len(suf) + 2:
+                stem = w[: -len(suf)]
+                got = first(const(tail), stem, stem + "E", dedouble(stem))
+                if got:
+                    return got
+        # Derivational prefixes (UNHAPPY, REAPPLY, DISAGREE ...): stem must
+        # resolve through the dictionary (or one more derivation level, so
+        # UNLOCKED parses UN+(LOCK+ED)). Tried after every suffix pattern:
+        # suffixes bind tighter, and the recursive suffix path above reaches
+        # here for its stems.
+        for pre, pre_phones in _PREFIXES:
+            min_stem = _PREFIX_MIN_STEM + (1 if pre == "CO" else 0)
+            if w.startswith(pre) and len(w) >= len(pre) + min_stem:
+                b = lk(w[len(pre):], depth) if len(w[len(pre):]) >= min_stem else None
+                if b:
+                    return list(pre_phones) + b
+        # Closed compounds (CATFISH, FIREWORKS, SNOWSTORM): both halves >= 3
+        # letters, the FIRST half a direct dictionary entry (no derivation —
+        # a derived first half is how false splits creep in), the second
+        # half a dictionary entry or one more derivation (FIREWORKS =
+        # FIRE+WORK+S). Longest first half wins (NOTEBOOK -> NOTE+BOOK, not
+        # NOT+EBOOK).
+        if len(w) >= 7 and "'" not in w:
+            for i in range(len(w) - 3, 2, -1):
+                a = self.entries.get(w[:i])
+                if a is None:
+                    continue
+                b = lk(w[i:], depth)
+                if b:
+                    return list(a) + b
         return None
 
 
@@ -481,11 +580,27 @@ def create_phonemes_ctc_labels(
     def p_to_i(p: List[str]) -> List[int]:
         return [vocab.index(pp) for pp in p]
 
+    # Label provenance (VERDICT r3 #4c): report, per split, how many word
+    # occurrences were labeled from the dictionary, from morphological
+    # derivation over dictionary bases, and from the rule-based LTS
+    # fallback — the one tier whose quality is approximate. Only the
+    # self-contained DictionaryG2P tracks tiers (g2p_en is a neural model;
+    # its labels are all one tier).
+    tiers = getattr(g2p, "tier_counts", None)
     for split in dataset:
+        before = dict(tiers) if tiers is not None else None
         for row in dataset[split]:
             phonemes = s_to_p(row["sentence"])
             row["phonemes"] = phonemes
             row["phonemes_idx"] = np.asarray(p_to_i(phonemes))
+        if tiers is not None and dataset[split]:
+            got = {k: tiers[k] - before[k] for k in tiers}
+            n = max(sum(got.values()), 1)
+            print(
+                f"phoneme labels [{split}]: "
+                + ", ".join(f"{k} {v} ({v / n:.1%})" for k, v in got.items()),
+                flush=True,
+            )
     return dataset
 
 

@@ -39,11 +39,14 @@ def test_lts_agreement_floor_vs_dictionary():
     """The rule engine must stay close to the vendored dictionary: these
     floors pin the measured quality so rule edits can't silently regress.
 
-    Measured 53% exact / 0.129 PER at commit time against the 5,376-entry
-    dictionary (the earlier 81%/0.064 floor was against the 495-entry
-    hand-vetted core; the expanded dictionary adds many stress-reduced and
-    irregular words a stress-blind rule engine cannot get exactly right —
-    most residual error is full-vowel-vs-schwa in unstressed syllables)."""
+    Measured 60.6% exact / 0.110 PER at r4 commit time against the
+    6,605-entry dictionary (r3 measured 53%/0.129 against 5,376 entries;
+    the r4 rule batches — schwa reduction in unstressed suffixes,
+    silent-letter clusters, digraph fixes, prefix-vowel conventions —
+    raised exact agreement ~10 points while the dictionary grew 23%
+    harder with names and compounds). Most residual error remains
+    full-vowel-vs-schwa in unstressed syllables, which a stress-blind
+    rule engine cannot fully resolve."""
     lts = RuleLTS()
     entries = _dict_entries()
     exact, err, ref_len = 0, 0, 0
@@ -53,8 +56,88 @@ def test_lts_agreement_floor_vs_dictionary():
         exact += e == 0
         err += e
         ref_len += len(ref)
-    assert exact / len(entries) >= 0.50, f"exact {exact}/{len(entries)}"
-    assert err / ref_len <= 0.14, f"PER {err / ref_len:.3f}"
+    assert exact / len(entries) >= 0.60, f"exact {exact}/{len(entries)}"
+    assert err / ref_len <= 0.115, f"PER {err / ref_len:.3f}"
+
+
+def test_frequency_weighted_coverage_without_lts():
+    """VERDICT r4 'done' criterion: >=97% of a frequency-weighted general
+    English sample (tests/data/english_frequency_sample.txt, weight of the
+    rank-r word = 1/r) resolves through the dictionary or morphological
+    derivation — the rule engine is reserved for the genuinely rare tail.
+    Measured 99.99% weighted / 99.9% raw at commit time."""
+    from llm_bci_tpu.data.speechbci import DictionaryG2P
+
+    g = DictionaryG2P(oov="lts")
+    path = os.path.join(REPO, "tests", "data", "english_frequency_sample.txt")
+    words = [
+        w.strip() for w in open(path) if w.strip() and not w.startswith("#")
+    ]
+    assert len(words) > 2000
+    tot = cov = 0.0
+    raw = 0
+    for r, w in enumerate(words, 1):
+        key = w.upper().strip(".,!?;:\"")
+        wt = 1.0 / r
+        tot += wt
+        if g.entries.get(key) is not None or g._derive(key) is not None:
+            cov += wt
+            raw += 1
+    assert cov / tot >= 0.97, f"weighted {cov / tot:.4f}"
+    assert raw / len(words) >= 0.95, f"raw {raw}/{len(words)}"
+
+
+def test_tier_provenance_counts(tmp_path):
+    """DictionaryG2P tracks per-occurrence label provenance, and
+    create_phonemes_ctc_labels reports it per split (VERDICT r3 #4c)."""
+    import json as _json
+
+    from llm_bci_tpu.data.speechbci import (
+        DictionaryG2P,
+        create_phonemes_ctc_labels,
+    )
+
+    g = DictionaryG2P(oov="lts")
+    g("the cat unlocked zyzzyva")  # dict, dict, derived, lts
+    assert g.tier_counts["dict"] >= 2
+    assert g.tier_counts["derived"] >= 1
+    assert g.tier_counts["lts"] >= 1
+
+    vocab_file = os.path.join(REPO, "vocab.json")
+    ds = {"train": [{"sentence": "the dog reapplied quizzotic"}]}
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out = create_phonemes_ctc_labels(ds, vocab_file, oov="lts")
+    assert "phoneme labels [train]" in buf.getvalue()
+    assert "dict" in buf.getvalue() and "lts" in buf.getvalue()
+    vocab = _json.load(open(vocab_file))
+    assert all(0 <= i < len(vocab) for i in out["train"][0]["phonemes_idx"])
+
+
+def test_prefix_and_compound_derivation():
+    """Prefixes and closed compounds resolve through dictionary bases;
+    short words never mis-split through a prefix."""
+    import re as _re
+
+    from llm_bci_tpu.data.speechbci import DictionaryG2P
+
+    g = DictionaryG2P(oov="raise")
+    s = lambda ph: " ".join(_re.sub(r"\d", "", x) for x in ph)
+    assert s(g._derive("UNEASY")) == "AH N IY Z IY"
+    assert s(g._derive("REAPPLY")) == "R IY AH P L AY"
+    assert s(g._derive("MISREAD")) == "M IH S R IY D"
+    assert s(g._derive("UNLOCKED")) == "AH N L AA K T"
+    assert s(g._derive("CATFISH")) == "K AE T F IH SH"
+    assert s(g._derive("FIREWORKS")) == "F AY ER W ER K S"
+    assert s(g._derive("SNOWSTORM")) == "S N OW S T AO R M"
+    # REACHED must stay REACH+ED even though ACHE is a dictionary base
+    assert s(g._derive("REACHED")) == "R IY CH T"
+    # direct entries always win over affix splits (READ is not RE+AD)
+    for w in ("READ", "UNIT", "UNION", "COAT", "MISS"):
+        assert w in g.entries
 
 
 def test_lts_emits_only_vocab_phones():
@@ -193,12 +276,10 @@ def test_morphology_no_false_decompositions():
         g("zyzzyvas")  # unknown stem: the -S rule alone cannot invent one
 
 
-def test_morphology_agreement_with_dictionary_inflections():
-    """Self-validating floor: every dictionary word that IS a regular
-    inflection of another dictionary word must derive (entry removed) to a
-    pronunciation matching its own listing — >=83% exactly, >=96% within
-    one phone edit (stress-stripped). Pins measured quality so rule edits
-    can't silently regress."""
+def _morphology_sweep():
+    """For every dictionary word that the engine can derive with its own
+    entry removed, edit distance between derivation and listing
+    (stress-stripped). Returns (total, exact, within1)."""
     from llm_bci_tpu.data.speechbci import DictionaryG2P
 
     g = DictionaryG2P(oov="raise")
@@ -214,6 +295,31 @@ def test_morphology_agreement_with_dictionary_inflections():
         dist = _edit(strip(derived), strip(phones))
         exact += dist == 0
         within1 += dist <= 1
+    return total, exact, within1
+
+
+def test_morphology_agreement_with_dictionary_inflections():
+    """Self-validating floor: every dictionary word the engine can derive
+    (entry removed) must match its own listing — measured 83.5% exact /
+    96.2% within one phone edit for the suffix tiers alone, 81.9% / 95.4%
+    with the prefix+compound tiers on (r4). The full engine trades a
+    little precision for recall: prefix/compound splits also fire on
+    NON-compositional dictionary words (RECORD -> RE+CORD, STEPHEN ->
+    STEP+HEN) that in real use are direct entries and never reach
+    derivation, so the sweep overstates their cost. Floors pin both so
+    rule edits can't silently regress either tier."""
+    from llm_bci_tpu.data import speechbci as sb
+
+    total, exact, within1 = _morphology_sweep()
     assert total > 1000  # the sweep is meaningful
-    assert exact / total >= 0.83, f"{exact}/{total}"
-    assert within1 / total >= 0.96, f"{within1}/{total}"
+    assert exact / total >= 0.80, f"{exact}/{total}"
+    assert within1 / total >= 0.94, f"{within1}/{total}"
+
+    saved = sb._PREFIXES
+    sb._PREFIXES = ()
+    try:
+        total, exact, within1 = _morphology_sweep()
+    finally:
+        sb._PREFIXES = saved
+    assert exact / total >= 0.83, f"suffix tier {exact}/{total}"
+    assert within1 / total >= 0.96, f"suffix tier {within1}/{total}"
