@@ -538,6 +538,11 @@ def main():
     mlm_sps = 0.0 if isinstance(_mlm, str) else _mlm
     selftest = _guard(kernel_selftest, "failed")
     bci = _guard(bench_bci, ("bci_lora_samples_per_sec", "bci_mfu"))
+    bci7b = _guard(
+        bench_bci7b, ("bci7b_mfu", "bci7b_int8_vs_bf16")
+    ) if os.environ.get("BENCH_SKIP_7B") != "1" else {}
+    if isinstance(bci7b, str):
+        bci7b = {"bci7b_mfu": bci7b, "bci7b_int8_vs_bf16": bci7b}
 
     # guard the bf16 and int8 decode legs separately: an int8-only failure
     # must not discard the already-measured bf16 number
@@ -582,20 +587,27 @@ def main():
                 "kernel_selftest": selftest,
                 # the reference's headline BCI workload + serving decode
                 **bci,
+                # 7B-proxy legs: true Llama-2-7B layer shapes (VERDICT r3 #1)
+                **bci7b,
                 **gen,
             }
         )
     )
 
 
-def _bci_model_and_batch(quant=None, llm="bench"):
+def _bci_model_and_batch(quant=None, llm="bench", n_layers=None, remat=False):
     """Shared BCI fixture: NDT1 trunk + projector + LoRA Llama decoder at a
     single-chip-feasible LLM size (12L/1024h ~ 200M, GQA 4 kv heads).
     ``quant="int8"`` stores the frozen Llama base int8 (weight-only).
-    ``llm="7b"`` uses TRUE Llama-2-7B dims (32L/4096h/11008ffn/32 heads,
-    the reference's actual decoder, configs/trainer_bci.yaml llm_path):
-    ~6.9 GB of int8 weights — serves on one 16 GB chip, where the bf16
-    layout (13.5 GB weights alone) cannot."""
+    ``llm="7b"`` uses TRUE Llama-2-7B dims (32L/4096h/11008ffn/32 MHA
+    heads, the reference's actual decoder per its HF config,
+    configs/trainer_bci.yaml llm_path): ~6.9 GB of int8 weights — serves
+    on one 16 GB chip, where the bf16 layout (13.5 GB weights alone)
+    cannot. ``n_layers`` overrides the depth (layer SHAPES set MFU and
+    byte/flop ratios; depth only scales totals — the 7B-proxy train/decode
+    legs use as many layers as fit the chip in the given layout).
+    ``remat`` turns on per-layer rematerialization in the Llama backward
+    (required to fit 7B-width training activations on one chip)."""
     from llm_bci_tpu.config import DictConfig
     from llm_bci_tpu.models.bci import BCI
     from llm_bci_tpu.models.llama import LlamaConfig
@@ -604,7 +616,7 @@ def _bci_model_and_batch(quant=None, llm="bench"):
     if llm == "7b":
         llama = LlamaConfig(
             vocab_size=32000, hidden_size=4096, intermediate_size=11008,
-            num_hidden_layers=32, num_attention_heads=32,
+            num_hidden_layers=n_layers or 32, num_attention_heads=32,
             num_key_value_heads=32, max_position_embeddings=2048,
         )
     else:
@@ -615,6 +627,7 @@ def _bci_model_and_batch(quant=None, llm="bench"):
         )
     model = BCI(
         config={
+            "llm_remat": remat,
             "projector": {"stacking": 1, "inter_size": 2048, "bias": True, "act": "relu"},
             "ndt1": {"encoder": DictConfig({
                 "masker": {"neuron": {"active": False}},
@@ -657,7 +670,10 @@ def _bci_model_and_batch(quant=None, llm="bench"):
     return model, batch, Bb
 
 
-def bench_bci(chain: int = 1, quant=None) -> dict:
+def bench_bci(
+    chain: int = 1, quant=None, llm="bench", n_layers=None, remat=False,
+    key_prefix: str = "bci",
+) -> dict:
     """BCI end-to-end training step throughput (the reference's headline
     workload); returns the metrics for the driver-recorded JSON.
 
@@ -670,7 +686,9 @@ def bench_bci(chain: int = 1, quant=None) -> dict:
     import optax
 
     _set_rng_impl()
-    model, batch, Bb = _bci_model_and_batch(quant=quant)
+    model, batch, Bb = _bci_model_and_batch(
+        quant=quant, llm=llm, n_layers=n_layers, remat=remat
+    )
     params = jax.jit(
         lambda r: model.init(r, **batch, training=False)["params"]
     )(jax.random.PRNGKey(0))
@@ -745,6 +763,36 @@ def bench_bci(chain: int = 1, quant=None) -> dict:
             step_flops = None
     else:
         step_flops = _compiled_flops(train_step, params, opt_state, key, dev_batch)
+        if remat and step_flops:
+            # The compiled remat program re-executes each layer's forward in
+            # the backward; MFU counts MODEL flops, not recompute — take the
+            # flop count from an un-rematerialized lowering (trace only, no
+            # compile/alloc, so the 7B-width no-remat program never has to
+            # fit on the chip).
+            model_nr, _, _ = _bci_model_and_batch(
+                quant=quant, llm=llm, n_layers=n_layers, remat=False
+            )
+
+            def _step_nr(params, rng, batch):
+                k1, k2, k3, _ = jax.random.split(rng, 4)
+
+                def loss_fn(p):
+                    return model_nr.apply(
+                        {"params": p}, **batch, training=True,
+                        rngs={"dropout": k1, "noise": k2, "mask": k3},
+                    ).loss
+
+                return jax.value_and_grad(loss_fn, allow_int=True)(params)
+
+            try:
+                cost = jax.jit(_step_nr).lower(params, key, dev_batch).cost_analysis()
+                if isinstance(cost, (list, tuple)):
+                    cost = cost[0]
+                nr = float(cost.get("flops", 0.0))
+                if nr > 0:
+                    step_flops = nr
+            except Exception:
+                pass
     # Longer window than the flagship loop: the ~19 ms BCI step needs ~20
     # iters before relay warmup/throttle noise stops dominating (10-iter
     # windows measured ~12% low).
@@ -764,16 +812,65 @@ def bench_bci(chain: int = 1, quant=None) -> dict:
     )
     vs = 1.0
     if os.path.exists(baseline_path):
-        base = json.load(open(baseline_path)).get("bci_lora_train_samples_per_sec")
+        base = json.load(open(baseline_path)).get(
+            f"{key_prefix}_lora_train_samples_per_sec"
+        )
         if base:
             vs = samples_per_sec / base
     out = {
-        "bci_lora_samples_per_sec": round(samples_per_sec, 2),
-        "bci_vs_baseline": round(vs, 3),
+        f"{key_prefix}_lora_samples_per_sec": round(samples_per_sec, 2),
+        f"{key_prefix}_vs_baseline": round(vs, 3),
     }
     if step_flops:
-        out["bci_mfu"] = round((step_flops * iters / dt) / _peak_flops(), 4)
+        out[f"{key_prefix}_mfu"] = round((step_flops * iters / dt) / _peak_flops(), 4)
     return out
+
+
+def bench_bci7b() -> dict:
+    """7B-proxy legs (VERDICT r3 #1): the two perf claims that were
+    extrapolated in r3, measured at TRUE Llama-2-7B layer shapes
+    (hidden 4096, inter 11008, 32 MHA heads, vocab 32000 — the reference's
+    actual decoder dims).
+
+    * ``bci7b_mfu``: the LoRA fine-tune step with a bf16 frozen base at as
+      many 7B-width layers as fit one 16 GB chip with training activations
+      (``_BCI7B_TRAIN_LAYERS``, per-layer remat on). MFU counts model
+      flops from an un-rematerialized lowering, not recompute. Layer
+      shapes — not depth — set MXU utilization, so this measures whether
+      r3's "BCI MFU 0.46 is a small-model shape artifact" claim holds.
+    * ``bci7b_int8_vs_bf16``: greedy-decode A/B at the same depth, frozen
+      base bf16 vs int8 weight-only — decode streams every weight byte per
+      token, so this is where ops/quant.py's HBM-bandwidth rationale must
+      show up (r3 measured 0.90x at 12L/1024h bench shapes).
+    """
+    out = {}
+    train = bench_bci(
+        llm="7b", n_layers=_BCI7B_TRAIN_LAYERS, remat=True, key_prefix="bci7b"
+    )
+    out["bci7b_mfu"] = train.get("bci7b_mfu", 0.0)
+    out["bci7b_lora_samples_per_sec"] = train["bci7b_lora_samples_per_sec"]
+    out["bci7b_train_layers"] = _BCI7B_TRAIN_LAYERS
+
+    bf16 = bench_generate(
+        greedy_only=True, llm="7b", n_layers=_BCI7B_DECODE_LAYERS
+    )
+    int8 = bench_generate(
+        greedy_only=True, quant="int8", llm="7b", n_layers=_BCI7B_DECODE_LAYERS
+    )
+    out["bci7b_greedy_tokens_per_sec"] = bf16["greedy_tokens_per_sec"]
+    out["bci7b_int8_greedy_tokens_per_sec"] = int8["greedy_tokens_per_sec"]
+    out["bci7b_int8_vs_bf16"] = round(
+        int8["greedy_tokens_per_sec"] / bf16["greedy_tokens_per_sec"], 3
+    )
+    return out
+
+
+# As many 7B-width layers as fit one 16 GB chip in each layout (measured on
+# v5e): training needs bf16 weights + LoRA/opt + remat activations; the
+# decode A/B needs BOTH the bf16 (0.41 GB/layer) and int8 copies to serve
+# the same depth.
+_BCI7B_TRAIN_LAYERS = int(os.environ.get("BENCH_7B_TRAIN_LAYERS", 16))
+_BCI7B_DECODE_LAYERS = int(os.environ.get("BENCH_7B_DECODE_LAYERS", 16))
 
 
 def main_bci():
@@ -798,7 +895,9 @@ def main_bci():
     )
 
 
-def bench_generate(greedy_only: bool = False, quant=None, llm="bench") -> dict:
+def bench_generate(
+    greedy_only: bool = False, quant=None, llm="bench", n_layers=None
+) -> dict:
     """Serving path: jitted KV-cache decode from the spliced neural prompt
     (the eval_phonemes WER surface, reference models/bci.py:224-246).
     Reports greedy new-tokens/s and diverse-beam(5) sequences/s
@@ -809,7 +908,7 @@ def bench_generate(greedy_only: bool = False, quant=None, llm="bench") -> dict:
     import jax
 
     _set_rng_impl()
-    model, batch, Bb = _bci_model_and_batch(quant=quant, llm=llm)
+    model, batch, Bb = _bci_model_and_batch(quant=quant, llm=llm, n_layers=n_layers)
     gen_keys = (
         "input_ids", "attention_mask", "input_split", "spikes",
         "spikes_mask", "spikes_timestamp", "spikes_lengths",
@@ -939,7 +1038,22 @@ def _probe_backend_or_die(metric: str = "ndt1_ctc_train_samples_per_sec"):
 
 
 if __name__ == "__main__":
-    if "--workload" in sys.argv and "generate7b" in sys.argv:
+    if "--workload" in sys.argv and "bci7b" in sys.argv:
+        _probe_backend_or_die("bci7b_mfu")
+        _set_rng_impl()
+        out = bench_bci7b()
+        print(
+            json.dumps(
+                {
+                    "metric": "bci7b_mfu",
+                    "value": out["bci7b_mfu"],
+                    "unit": "fraction of bf16 peak",
+                    "vs_baseline": 1.0,
+                    **{k: v for k, v in out.items() if k != "bci7b_mfu"},
+                }
+            )
+        )
+    elif "--workload" in sys.argv and "generate7b" in sys.argv:
         _probe_backend_or_die("bci7b_int8_greedy_tokens_per_sec")
         main_generate7b()
     elif "--workload" in sys.argv and "bci" in sys.argv:

@@ -89,6 +89,8 @@ _RULES_SRC = [
     _r("", "a", "^+:#", "AE"),
     _r(" :", "a", "^+ ", "EY"),
     _r(" ", "a", "nn", "AH"),
+    _r(" ", "a", "cce", "AH"),
+    _r(" ", "a", "ccu", "AH"),
     _r(" ", "a", "pp", "AH"),
     _r(" ", "a", "dd", "AH"),
     _r(" ", "a", "gg", "AH"),
@@ -109,6 +111,7 @@ _RULES_SRC = [
     _r("", "at", "or", "EY", "T"),
     _r("#:", "al", " ", "AH", "L"),
     _r("", "al", "f ", "AE"),
+    _r("^", "alm", "", "AA", "M"),
     _r("", "alk", "", "AO", "K"),
     _r("", "al", "c", "AE", "L"),
     _r("", "al", "^", "AO", "L"),
@@ -121,12 +124,14 @@ _RULES_SRC = [
     _r("#:^", "ant", "s ", "AH", "N", "T"),
     _r("", "a", "^e ", "EY"),
     _r("", "a", "^es ", "EY"),
+    _r("#:^", "a", "^#", "AH"),
     _r("", "a", "^%", "EY"),
     _r("#:^", "a", "d ", "AH"),
     _r("#:^", "a", " ", "AH"),
     _r("", "a", "", "AE"),
     # ---- b
     _r(" ", "been", " ", "B", "IH", "N"),
+    _r(" ", "be", "tw", "B", "IH"),
     _r(" ", "be", "^#", "B", "IH"),
     _r("", "being", "", "B", "IY", "IH", "NG"),
     _r(" ", "both", " ", "B", "OW", "TH"),
@@ -181,6 +186,7 @@ _RULES_SRC = [
     _r("#:^", "ently", " ", "AH", "N", "T", "L", "IY"),
     _r(" ", "ex", "^", "IH", "K", "S"),
     _r(" ", "emb", "", "IH", "M", "B"),
+    _r(" ", "e", "^^", "EH"),
     _r(" ", "e", "lec", "IH"),
     _r(" ", "ex", "h#", "IH", "G", "Z"),
     _r(" ", "ex", "#", "IH", "G", "Z"),
@@ -204,6 +210,8 @@ _RULES_SRC = [
     _r("#:", "ely", " ", "L", "IY"),
     _r("#:", "ement", "", "M", "AH", "N", "T"),
     _r("#:^", "e", "t ", "AH"),
+    _r("#:^", "est", " ", "AH", "S", "T"),
+    _r("#:^", "en", "s ", "AH", "N"),
     _r("#:^", "e", "l ", "AH"),
     _r("#:^", "e", "m ", "AH"),
     _r("#:^", "en", " ", "AH", "N"),
@@ -231,11 +239,14 @@ _RULES_SRC = [
     _r("", "ey", "", "IY"),
     _r("", "eu", "", "Y", "UW"),
     _r("", "e", "^e ", "IY"),
+    _r("qu", "e", "n", "AH"),
+    _r("#:^", "e", "^#", "AH"),
     _r("", "e", "^%", "IY"),
     _r("", "e", "", "EH"),
     # ---- f
     _r("", "full", "", "F", "UH", "L"),
     _r("", "front", "", "F", "R", "AH", "N", "T"),
+    _r("#:", "fy", " ", "F", "AY"),
     _r("", "ful", "", "F", "AH", "L"),
     _r("f", "f", "", ),
     _r("", "f", "", "F"),
@@ -270,6 +281,8 @@ _RULES_SRC = [
     _r(" :^", "i", "en", "AY"),
     _r("qu", "i", "e", "AY"),
     _r("", "ien", "", "IY", "AH", "N"),
+    _r("r", "ive", " ", "AY", "V"),
+    _r(" a", "live", " ", "L", "AY", "V"),
     _r("#:^", "ive", " ", "IH", "V"),
     _r("#:^", "ive", "s ", "IH", "V"),
     _r("#:^", "ively", " ", "IH", "V", "L", "IY"),
@@ -306,6 +319,11 @@ _RULES_SRC = [
     _r("ll", "ia", "", "Y", "AH"),
     _r("ll", "i", "o", "Y"),
     _r("n", "i", "o", "Y"),
+    _r("r", "i", "a", "IY"),
+    _r("r", "i", "o", "IY"),
+    _r("#:^", "i", "#", "IY"),
+    _r("", "ism", " ", "IH", "Z", "AH", "M"),
+    _r("#:^", "i", " ", "IY"),
     _r("", "i", "o", "AY"),
     _r("", "i", "", "IH"),
     # ---- j
@@ -344,6 +362,7 @@ _RULES_SRC = [
     _r("n", "n", "", ),
     _r("", "n", "", "N"),
     # ---- o
+    _r(" pr", "o", "^#", "AH"),
     _r(" ", "o", "pp", "AH"),
     _r(" ", "oh", " ", "OW"),
     _r(" ", "of", " ", "AH", "V"),
@@ -362,6 +381,8 @@ _RULES_SRC = [
     _r("", "our", "", "AO", "R"),
     _r("#:^", "or", "ies", "ER"),
     _r("#:^", "or", "y", "ER"),
+    _r("", "or", "ney", "ER"),
+    _r("#:^", "or", "ar", "ER"),
     _r("#:^", "or", "s ", "ER"),
     _r("#:^", "or", " ", "ER"),
     _r("", "or", "", "AO", "R"),
@@ -385,6 +406,7 @@ _RULES_SRC = [
     _r("", "on't", "", "OW", "N", "T"),
     _r("", "o", "^en", "OW"),
     _r("", "olk", "", "OW", "K"),
+    _r("", "ol", "t", "OW", "L"),
     _r("", "ol", "d", "OW", "L"),
     _r("", "o", "st ", "OW"),
     _r("", "of", "^", "AO", "F"),
@@ -396,9 +418,12 @@ _RULES_SRC = [
     _r("", "o", "ng", "AO"),
     _r("i", "on", "", "AH", "N"),
     _r("#:", "on", " ", "AH", "N"),
+    _r("#:^", "o", "l ", "AH"),
+    _r("#:^", "o", "t ", "AH"),
     _r("#:^", "o", "p ", "AH"),
     _r("#:^", "om", "", "AH", "M"),
     _r("", "o", "x", "AA"),
+    _r("#:^", "o", "^y ", "AH"),
     _r("", "o", "^e ", "OW"),
     _r("", "o", "^es ", "OW"),
     _r("", "o", "^%", "OW"),
@@ -508,6 +533,7 @@ _RULES_SRC = [
     _r(" ", "were", "", "W", "ER"),
     _r("", "wa", "sh", "W", "AA"),
     _r("", "wa", "st", "W", "EY"),
+    _r("s", "wa", "m", "W", "AA"),
     _r("", "wa", "s", "W", "AH"),
     _r("", "wat", "e", "W", "AO", "T"),
     _r("", "wa", "t", "W", "AA"),
@@ -516,6 +542,7 @@ _RULES_SRC = [
     _r("", "whol", "", "HH", "OW", "L"),
     _r("", "who", "", "HH", "UW"),
     _r("", "wh", "", "W"),
+    _r("^", "ward", " ", "W", "ER", "D"),
     _r("", "war", "", "W", "AO", "R"),
     _r("", "wor", "^", "W", "ER"),
     _r("", "wr", "", "R"),
@@ -530,6 +557,7 @@ _RULES_SRC = [
     _r(" ", "y", "", "Y"),
     _r("#:^", "y", " ", "IY"),
     _r("#:^", "y", "i", "IY"),
+    _r("", "y", "z", "AY"),
     _r(" :", "y", " ", "AY"),
     _r(" :", "y", "#", "AY"),
     _r(" :", "y", "^+:#", "IH"),

@@ -39,8 +39,8 @@ def test_lts_agreement_floor_vs_dictionary():
     """The rule engine must stay close to the vendored dictionary: these
     floors pin the measured quality so rule edits can't silently regress.
 
-    Measured 60.6% exact / 0.110 PER at r4 commit time against the
-    6,605-entry dictionary (r3 measured 53%/0.129 against 5,376 entries;
+    Measured 60.2% exact / 0.110 PER at r4 commit time against the
+    7,078-entry dictionary (r3 measured 53%/0.129 against 5,376 entries;
     the r4 rule batches — schwa reduction in unstressed suffixes,
     silent-letter clusters, digraph fixes, prefix-vowel conventions —
     raised exact agreement ~10 points while the dictionary grew 23%
