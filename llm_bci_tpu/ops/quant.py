@@ -310,15 +310,26 @@ def int8_matmul(
     """
     # dtype as its NAME: custom_vjp nondiff args must be plain hashables.
     out_dtype = np.dtype(out_dtype or x.dtype).name
-    if impl == "xla":
-        return _int8_matmul(
-            x.reshape(-1, x.shape[-1]), q, scale, out_dtype, None
-        ).reshape(*x.shape[:-1], q.shape[1])
     lead = x.shape[:-1]
     K = x.shape[-1]
     N = q.shape[1]
     x2 = x.reshape(-1, K)
     M = x2.shape[0]
+    # Serving-shaped calls (M up to ~1k: the per-token KV-cache decode at
+    # M=B, and the prompt prefill at M=B*P) take the XLA convert+dot:
+    # measured END-TO-END at true Llama-2-7B widths (16 layers, greedy
+    # B=8, r4), the full-XLA path decodes 1014-1017 tok/s vs the Pallas
+    # kernel's 955 (bf16: 662); rerouting only the M<=64 decode steps
+    # measured 964 and a hybrid that kept Pallas below the 32k-wide
+    # lm_head measured 960 — XLA's fused convert+dot keeps the weight
+    # stream closer to the HBM roofline at these skinny shapes, so the
+    # whole serving path reroutes. Larger-M calls (the fine-tune step's
+    # M = B*T) keep the Pallas kernel. Explicitly pinned blocks still
+    # take the kernel (tests pin tilings).
+    if impl == "auto" and block_n is None and block_k is None and M <= 1024:
+        return _int8_matmul(x2, q, scale, out_dtype, None).reshape(*lead, N)
+    if impl == "xla":
+        return _int8_matmul(x2, q, scale, out_dtype, None).reshape(*lead, N)
     # Sublane-pad M (bf16 tile height 16) so tiny decode batches still take
     # the kernel; pad rows multiply zeros and are sliced off.
     bm = min(block_m, max(16, -(-M // 16) * 16))
