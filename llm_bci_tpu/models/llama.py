@@ -135,12 +135,20 @@ class LoRADense(nn.Module):
             )
             # "int8_xla" = same storage, partitionable matmul (multi-device
             # meshes; the Trainer rewrites the mode when mesh.size > 1).
+            # Serving calls (training=False: prefill AND decode) also take
+            # the XLA convert+dot — measured 1014-1017 vs 955 tok/s for the
+            # Pallas kernel at 7B/16L greedy decode (r4); the fine-tune
+            # step's forward keeps the Pallas kernel, which wins fwd+bwd at
+            # the same M (36.5 vs 34.3 samples/s at 7B/16L). Same math
+            # either way; only the weight-streaming schedule differs.
             y = int8_matmul(
                 x,
                 kernel_q,
                 jax.lax.stop_gradient(kernel_scale),
                 out_dtype=self.dtype,
-                impl="xla" if self.quant == "int8_xla" else "auto",
+                impl="xla"
+                if (self.quant == "int8_xla" or not training)
+                else "auto",
             )
         elif self.quant is not None:
             raise ValueError(f"unknown quant mode {self.quant!r}")
