@@ -96,7 +96,14 @@ class HostDataLoader:
     pins the epoch with :meth:`set_epoch`; plain ``iter()`` users get
     epochs 0, 1, 2, ... automatically. ``set_epoch(skip_batches=k)``
     fast-forwards the next iteration past ``k`` already-consumed batches
-    without collating them (mid-epoch resume)."""
+    without collating them (mid-epoch resume).
+
+    Caveat: the byte-identical-resume guarantee covers the ORDER this
+    loader draws examples in. ``DaySpecificSpikingDatasetForDecoding``
+    additionally keeps stateful per-day index pools inside
+    ``__getitem__`` (reference ``data_utils/datasets.py:115-175``), so a
+    resumed run re-draws those pools fresh — its resume preserves the
+    step budget and epoch order but not the exact day-batch composition."""
 
     def __init__(
         self,

@@ -402,3 +402,34 @@ def test_impl_xla_matches_auto():
         lambda xx: quant.int8_matmul(xx, *args[1:], impl="xla").sum()
     )(args[0])
     np.testing.assert_allclose(np.asarray(g_xla), np.asarray(g_auto), rtol=1e-6)
+
+
+def test_lora_dense_serving_training_same_values():
+    """The int8 LoRADense routes serving calls (training=False) through the
+    XLA convert+dot and training calls through the auto/Pallas path
+    (measured-faster per mode, r4 — llama.py dispatch comment). The two
+    routes must compute identical values: only the weight-streaming
+    schedule may differ."""
+    import jax
+
+    from llm_bci_tpu.models.llama import LoRADense
+
+    layer = LoRADense(features=128, r=4, quant="int8", dtype=jnp.float32)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(6, 96)).astype(np.float32))
+    params = layer.init(jax.random.PRNGKey(0), x)["params"]
+    # non-trivial codes: the init scale is constant, so draw real values
+    params = dict(params)
+    params["kernel"] = jnp.asarray(
+        rng.integers(-127, 128, size=(96, 128)).astype(np.int8)
+    )
+    params["kernel_scale"] = jnp.asarray(
+        rng.uniform(0.001, 0.02, size=(128,)).astype(np.float32)
+    )
+    y_serve = layer.apply({"params": params}, x, training=False)
+    y_train = layer.apply(
+        {"params": params}, x, training=True, rngs={"dropout": jax.random.PRNGKey(1)}
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_serve), np.asarray(y_train), rtol=1e-6, atol=1e-6
+    )
