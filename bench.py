@@ -843,19 +843,45 @@ def bench_bci7b() -> dict:
       token, so this is where ops/quant.py's HBM-bandwidth rationale must
       show up (r3 measured 0.90x at 12L/1024h bench shapes).
     """
+    def retry(fn, what):
+        # The 7B legs are the biggest programs of the whole bench and run
+        # after ~an hour of accumulated compiles on a remote-attached dev
+        # chip; the relay's compile service occasionally aborts one
+        # response mid-body ("response body closed before all bytes were
+        # read"). One backoff+retry recovers it (observed transient, not
+        # deterministic); a second failure propagates to _guard.
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — retry once, then surface
+            print(f"bci7b {what}: retrying after {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+            time.sleep(30)
+            return fn()
+
     out = {}
-    train = bench_bci(
-        llm="7b", n_layers=_BCI7B_TRAIN_LAYERS, remat=True, key_prefix="bci7b"
+    train = retry(
+        lambda: bench_bci(
+            llm="7b", n_layers=_BCI7B_TRAIN_LAYERS, remat=True,
+            key_prefix="bci7b",
+        ),
+        "train",
     )
     out["bci7b_mfu"] = train.get("bci7b_mfu", 0.0)
     out["bci7b_lora_samples_per_sec"] = train["bci7b_lora_samples_per_sec"]
     out["bci7b_train_layers"] = _BCI7B_TRAIN_LAYERS
 
-    bf16 = bench_generate(
-        greedy_only=True, llm="7b", n_layers=_BCI7B_DECODE_LAYERS
+    bf16 = retry(
+        lambda: bench_generate(
+            greedy_only=True, llm="7b", n_layers=_BCI7B_DECODE_LAYERS
+        ),
+        "bf16 decode",
     )
-    int8 = bench_generate(
-        greedy_only=True, quant="int8", llm="7b", n_layers=_BCI7B_DECODE_LAYERS
+    int8 = retry(
+        lambda: bench_generate(
+            greedy_only=True, quant="int8", llm="7b",
+            n_layers=_BCI7B_DECODE_LAYERS,
+        ),
+        "int8 decode",
     )
     out["bci7b_greedy_tokens_per_sec"] = bf16["greedy_tokens_per_sec"]
     out["bci7b_int8_greedy_tokens_per_sec"] = int8["greedy_tokens_per_sec"]
