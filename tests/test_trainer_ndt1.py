@@ -807,3 +807,40 @@ def test_dataloader_stateless_epoch_order():
     np.testing.assert_array_equal(
         np.concatenate([np.asarray(b) for b in list(dl)]), dl.epoch_order(3)
     )
+
+
+def test_cache_device_batches_replay_matches_streaming_order(tmp_path):
+    """With the device cache on, later epochs re-batch by gather — and since
+    r4 the gather permutation composes the CURRENT epoch's stateless order
+    with the cache storage order, so the cached replay visits examples in
+    EXACTLY the sequence the streaming path would (deterministic resume
+    holds with the cache enabled)."""
+    from llm_bci_tpu.training import Trainer
+
+    ds = synth_dataset(n_train=24)
+    cfg = base_config(tmp_path)
+    cfg["training"]["cache_device_batches"] = True
+    cfg["training"]["max_steps"] = 100
+    trainer = Trainer(cfg, dataset=ds)
+
+    def epoch_batches(epoch):
+        trainer.train_dataloader.set_epoch(epoch)
+        return [
+            np.asarray(mi["spikes"]).copy()
+            for _, mi, _ in trainer._prefetch(trainer.train_dataloader, epoch=epoch)
+        ]
+
+    # epoch 1 builds the cache; epochs 2-3 replay through the gather
+    cached = {1: epoch_batches(1), 2: epoch_batches(2), 3: epoch_batches(3)}
+
+    cfg2 = base_config(tmp_path / "stream")
+    trainer2 = Trainer(cfg2, dataset=ds)  # cache off: pure streaming
+    for epoch in (1, 2, 3):
+        trainer2.train_dataloader.set_epoch(epoch)
+        streamed = [
+            np.asarray(mi["spikes"]).copy()
+            for _, mi, _ in trainer2._prefetch(trainer2.train_dataloader)
+        ]
+        assert len(streamed) == len(cached[epoch])
+        for a, b in zip(cached[epoch], streamed):
+            np.testing.assert_array_equal(a, b)
