@@ -168,3 +168,54 @@ def test_main_cli_resume_continues_step_count(tmp_path):
     # resumed at step 2, trained 2 more steps (not 4 fresh ones)
     assert int(np.asarray(t2.state.step)) == 4
     assert os.path.exists(str(tmp_path / "ckpt" / "cli_resume" / "STEP4"))
+
+
+def test_main_ctc_file_dataset_without_vocab_trains(tmp_path, capsys):
+    """A ctc run from a file dataset with no data.vocab_file trains without
+    the CER metric instead of crashing (the reference's cer closure hits a
+    NameError on `vocab` for this combination — main.py:67-72 only binds
+    vocab in the speechbci branch; we degrade loudly, r4)."""
+    import pickle
+
+    import yaml
+
+    rng = np.random.default_rng(0)
+    rows = [
+        {
+            "spikes": rng.poisson(1.0, size=(14, 10)).astype(np.float32),
+            "targets": rng.integers(1, 7, size=(int(rng.integers(2, 5)),)).astype(np.int64),
+        }
+        for _ in range(16)
+    ]
+    pickle.dump({"train": rows, "test": rows[:8]}, open(tmp_path / "ds.pkl", "wb"))
+    pad = {"dim": 0, "side": "right", "value": 0, "truncate": None, "min_length": None}
+    cfg = {
+        "savestring": "cli_ctc_novocab",
+        "verbosity": 3,
+        "dirs": {"checkpoint_dir": str(tmp_path / "ckpt"), "log_dir": None},
+        "training": {"num_epochs": 1, "train_batch_size": 8, "test_batch_size": 8, "max_steps": 2},
+        "model": {"model_class": "NDT1", "encoder": {
+            "masker": {"neuron": {"active": False}},
+            "embedder": {"n_channels": 1, "max_F": 14, "input_dim": 8, "stack": {"active": False}},
+            "transformer": {"n_layers": 1, "hidden_size": 8, "n_heads": 2, "inter_size": 8},
+        }},
+        "data": {"dataset_class": "decoding", "data_load": "file",
+                 "data_dir": str(tmp_path), "data_file": "ds.pkl"},
+        "method": {
+            "model_kwargs": {"method_name": "ctc", "vocab_size": 7, "blank_id": 0,
+                             "zero_infinity": True},
+            "dataset_kwargs": {"targets_name": "targets"},
+            "dataloader_kwargs": {"pad_dict": {
+                "spikes": dict(pad), "spikes_mask": dict(pad),
+                "spikes_timestamp": dict(pad), "targets": dict(pad),
+                "targets_mask": dict(pad)}},
+        },
+        "optimizer": {"lr": 1e-3, "scheduler": "cosine"},
+    }
+    cfg_path = str(tmp_path / "cfg.yaml")
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+    trainer = run_main(cfg_path, {})
+    out = capsys.readouterr().out
+    assert "skipping the CER metric" in out
+    assert "CER" not in trainer.metric_fns
+    assert int(np.asarray(trainer.state.step)) == 2
