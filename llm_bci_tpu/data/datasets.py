@@ -13,7 +13,6 @@ device with the proper :class:`jax.sharding.NamedSharding`.
 from __future__ import annotations
 
 import math
-import random
 from copy import deepcopy
 from typing import Any, Dict, List, Optional, Tuple, Union
 
@@ -94,9 +93,25 @@ class SpikingDatasetForDecoding(SpikingDataset):
 @register_dataset("day")
 class DaySpecificSpikingDatasetForDecoding(SpikingDataset):
     """Each ``__getitem__`` yields a day-homogeneous mini-batch (a list of
-    examples) drawn from stateful shuffled per-day index pools — pairs with
-    NDT1 per-day ``adapt`` embeddings (reference
-    ``data_utils/datasets.py:115-175``)."""
+    examples) — pairs with NDT1 per-day ``adapt`` embeddings (reference
+    ``data_utils/datasets.py:115-175``).
+
+    Day-batch composition is STATELESS: the reference draws from shuffled
+    per-day index pools mutated inside ``__getitem__`` (pop-until-empty,
+    refill+reshuffle), which makes a resumed run re-draw different batches
+    than the uninterrupted one. Because every batch index is visited
+    exactly once per epoch, one reference epoch consumes each day's pool
+    exactly (``ceil(n_d/bs)`` visits x ``min(bs, remaining)`` pops == n_d),
+    so pool state at epoch boundaries is just the reshuffle RNG — the whole
+    scheme is equivalent to drawing day ``d``'s epoch-``e`` order from a
+    pure function of ``(seed, e, d)``. We implement exactly that: batch
+    ``k`` of day ``d`` (its position among the day's batch indices, not
+    visit order) takes slice ``[k*bs:(k+1)*bs]`` of
+    ``default_rng((seed, epoch, day)).permutation(n_d)``. The trainer's
+    dataloader pins the epoch via :meth:`set_epoch`, so mid-epoch
+    fast-forward reproduces the interrupted run's day-batch composition
+    byte-for-byte (the strong deterministic-resume guarantee now covers
+    the ``day`` dataset class too)."""
 
     def __init__(
         self,
@@ -111,33 +126,50 @@ class DaySpecificSpikingDatasetForDecoding(SpikingDataset):
         super().__init__(dataset, length, spikes_name)
         self.batch_size = batch_size
         self.targets_name = targets_name
-        self._rng = random.Random(seed)
+        self.seed = int(seed)
+        self._epoch = 0
+        self._order_cache: Dict[Tuple[int, int], np.ndarray] = {}
         self.day_idxs = sorted(set(int(row["day_idx"]) for row in self.dataset))
         self.day_datasets = {
             d: [row for row in self.dataset if int(row["day_idx"]) == d] for d in self.day_idxs
         }
-        self.possible_idx = {d: list(range(len(rows))) for d, rows in self.day_datasets.items()}
-        for d in self.day_idxs:
-            self._rng.shuffle(self.possible_idx[d])
 
     def __len__(self) -> int:
         return sum(math.ceil(len(rows) / self.batch_size) for rows in self.day_datasets.values())
 
-    def _day_for_batch(self, idx: int) -> int:
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the epoch whose per-day orders ``__getitem__`` samples from
+        (forwarded by ``HostDataLoader.__iter__``)."""
+        self._epoch = int(epoch)
+
+    def _day_order(self, day: int) -> np.ndarray:
+        key = (self._epoch, day)
+        order = self._order_cache.get(key)
+        if order is None:
+            # one entry per day is enough — epochs advance monotonically
+            self._order_cache = {
+                k: v for k, v in self._order_cache.items() if k[0] == self._epoch
+            }
+            order = np.random.default_rng(
+                (self.seed, self._epoch, day)
+            ).permutation(len(self.day_datasets[day]))
+            self._order_cache[key] = order
+        return order
+
+    def _day_for_batch(self, idx: int) -> Tuple[int, int]:
+        """(day, within-day batch number) for global batch index ``idx``."""
         cum = 0
         for d in self.day_idxs:
-            cum += math.ceil(len(self.day_datasets[d]) / self.batch_size)
-            if idx < cum:
-                return d
+            n_batches = math.ceil(len(self.day_datasets[d]) / self.batch_size)
+            if idx < cum + n_batches:
+                return d, idx - cum
+            cum += n_batches
         raise IndexError(idx)
 
     def __getitem__(self, idx: int) -> List[Dict[str, Any]]:
-        day = self._day_for_batch(idx)
-        pool = self.possible_idx[day]
-        batch_idx = [pool.pop() for _ in range(min(self.batch_size, len(pool)))]
-        if not pool:
-            pool.extend(range(len(self.day_datasets[day])))
-            self._rng.shuffle(pool)
+        day, k = self._day_for_batch(idx)
+        order = self._day_order(day)
+        batch_idx = order[k * self.batch_size : (k + 1) * self.batch_size]
 
         out = []
         for j in batch_idx:

@@ -98,12 +98,12 @@ class HostDataLoader:
     fast-forwards the next iteration past ``k`` already-consumed batches
     without collating them (mid-epoch resume).
 
-    Caveat: the byte-identical-resume guarantee covers the ORDER this
-    loader draws examples in. ``DaySpecificSpikingDatasetForDecoding``
-    additionally keeps stateful per-day index pools inside
-    ``__getitem__`` (reference ``data_utils/datasets.py:115-175``), so a
-    resumed run re-draws those pools fresh — its resume preserves the
-    step budget and epoch order but not the exact day-batch composition."""
+    Datasets that sample internally (``DaySpecificSpikingDatasetForDecoding``
+    composes day-homogeneous batches per ``__getitem__``) get the epoch
+    forwarded via their own ``set_epoch`` at iteration start, so their
+    draws are stateless in ``(seed, epoch)`` too and the byte-identical
+    resume guarantee covers the full example stream, not just this
+    loader's index order."""
 
     def __init__(
         self,
@@ -147,6 +147,8 @@ class HostDataLoader:
         self.last_epoch = epoch
         self._next_epoch = epoch + 1
         skip, self._skip_batches = self._skip_batches, 0
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
         order = self.epoch_order(epoch)
         for bi, start in enumerate(range(0, len(order), self.batch_size)):
             idx = order[start : start + self.batch_size]

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import inspect
+import json
 import os
 from functools import partial
 from typing import Any, Callable, Dict, List, Optional
@@ -1510,6 +1511,21 @@ class Trainer:
             self.state,
             wait=wait,
         )
+        if self.is_main_process:
+            # The mid-epoch fast-forward computes skip_batches from
+            # steps_per_epoch; if the resumed run's dataloader geometry
+            # changed (batch size / dataset length), that arithmetic
+            # silently misaligns — record it so resume_from can warn
+            # (r4 advisor finding).
+            meta = {
+                "steps_per_epoch": len(self.train_dataloader),
+                "train_batch_size": int(self.config.training.train_batch_size),
+                "train_dataset_len": len(self.train_dataloader.dataset),
+            }
+            with open(
+                os.path.join(self.checkpoint_dir, "resume_meta.json"), "w"
+            ) as f:
+                json.dump(meta, f)
 
     def resume_from(self, directory: Optional[str] = None) -> int:
         """Restore the full train state (params+optimizer+step); returns the
@@ -1519,6 +1535,27 @@ class Trainer:
         from llm_bci_tpu.training.checkpoint import restore_train_state
 
         directory = directory or os.path.join(self.checkpoint_dir, "train_state")
+        meta_path = os.path.join(os.path.dirname(directory), "resume_meta.json")
+        if os.path.exists(meta_path):
+            try:
+                meta = json.load(open(meta_path))
+            except (OSError, ValueError):
+                meta = {}
+            saved_spe = meta.get("steps_per_epoch")
+            live_spe = len(self.train_dataloader)
+            if saved_spe is not None and int(saved_spe) != live_spe:
+                self.print_v(
+                    "WARNING: resuming with a different dataloader geometry "
+                    f"than the checkpointed run: steps_per_epoch {saved_spe} "
+                    f"(saved: batch_size={meta.get('train_batch_size')}, "
+                    f"dataset_len={meta.get('train_dataset_len')}) vs "
+                    f"{live_spe} now. The mid-epoch fast-forward derives "
+                    "skip_batches from steps_per_epoch, so the resumed run "
+                    "will NOT replay the interrupted epoch's exact batches — "
+                    "restore the original batch size/dataset for a "
+                    "deterministic resume.",
+                    verbosity=3,
+                )
         step, state = restore_train_state(directory, self.state)
         self._resume_step = int(step)
         if jax.process_count() > 1:

@@ -786,6 +786,110 @@ def test_resume_reproduces_data_stream_and_params(tmp_path):
     np.testing.assert_allclose(p1, p3, rtol=1e-6, atol=1e-7)
 
 
+def test_resume_warns_on_changed_dataloader_geometry(tmp_path, capsys):
+    """skip_batches = (step-1) % steps_per_epoch assumes the resumed run's
+    dataloader geometry matches the interrupted run's; a changed batch
+    size must produce a loud warning, not a silent misalignment (r4
+    advisor finding)."""
+    from llm_bci_tpu.training import Trainer
+
+    ds = synth_dataset(n_train=24)
+    cfg = base_config(tmp_path)
+    cfg["training"]["max_steps"] = 4
+    cfg["training"]["num_epochs"] = 10
+    cfg["training"]["save_every"] = 4
+    Trainer(cfg, dataset=ds).train()
+
+    cfg2 = base_config(tmp_path)
+    cfg2["training"]["train_batch_size"] = 4     # 3 → 6 steps/epoch
+    cfg2["training"]["max_steps"] = 6
+    cfg2["training"]["num_epochs"] = 10
+    t2 = Trainer(cfg2, dataset=ds)
+    capsys.readouterr()
+    assert t2.resume_from() == 4
+    assert "different dataloader geometry" in capsys.readouterr().out
+
+    # unchanged geometry: no warning
+    cfg3 = base_config(tmp_path)
+    cfg3["training"]["max_steps"] = 6
+    cfg3["training"]["num_epochs"] = 10
+    t3 = Trainer(cfg3, dataset=ds)
+    capsys.readouterr()
+    assert t3.resume_from() == 4
+    assert "different dataloader geometry" not in capsys.readouterr().out
+
+
+def test_resume_reproduces_day_dataset_composition(tmp_path):
+    """The strong resume guarantee extends to dataset_class: day (VERDICT
+    r4 #4): day-batch COMPOSITION is drawn statelessly from
+    (seed, epoch, day), so a run preempted mid-epoch and resumed consumes
+    byte-identical day-homogeneous batches and ends with the same params
+    as the uninterrupted run (reference data_utils/datasets.py:115-175
+    draws from pools mutated inside __getitem__, which a resume cannot
+    replay)."""
+    from llm_bci_tpu.training import Trainer
+
+    # 3 days x 8 examples, day-batches of 4 → 6 loader batches/epoch
+    # (loader bs 1); step 4 of 7 is mid-epoch, step 7 is in epoch 2.
+    ds = synth_dataset(n_train=24, n_test=8, with_targets=True)
+
+    def make_cfg(root, max_steps, save_every=None):
+        cfg = base_config(root)
+        cfg["data"]["dataset_class"] = "day"
+        cfg["method"]["model_kwargs"] = {
+            "method_name": "ctc", "vocab_size": 7, "blank_id": 0,
+            "zero_infinity": True,
+        }
+        cfg["method"]["dataset_kwargs"] = {"targets_name": "targets", "batch_size": 4}
+        cfg["method"]["dataloader_kwargs"]["pad_dict"]["targets"] = {
+            "dim": 0, "side": "right", "value": 0, "truncate": None, "min_length": None
+        }
+        cfg["method"]["dataloader_kwargs"]["pad_dict"]["targets_mask"] = {
+            "dim": 0, "side": "right", "value": 0, "truncate": None, "min_length": None
+        }
+        cfg["training"]["train_batch_size"] = 1
+        cfg["training"]["test_batch_size"] = 1
+        cfg["training"]["max_steps"] = max_steps
+        cfg["training"]["num_epochs"] = 10
+        cfg["training"]["save_every"] = save_every
+        cfg["training"]["metric_lag"] = 1
+        return cfg
+
+    full_log = []
+    t1 = Trainer(
+        make_cfg(tmp_path / "full", 7),
+        dataset=ds, metric_fns={"cap": _spikes_capture(full_log)},
+    )
+    t1.train()
+    assert int(np.asarray(t1.state.step)) == 7 and len(full_log) == 7
+    # every captured batch is one day-batch of 4 distinct examples
+    assert all(b.shape[0] == 4 for b in full_log)
+
+    part_log = []
+    t2 = Trainer(
+        make_cfg(tmp_path / "part", 4, save_every=4),
+        dataset=ds, metric_fns={"cap": _spikes_capture(part_log)},
+    )
+    t2.train()
+    for a, b in zip(full_log[:4], part_log):
+        np.testing.assert_array_equal(a, b)
+
+    resumed_log = []
+    t3 = Trainer(
+        make_cfg(tmp_path / "part", 7),
+        dataset=ds, metric_fns={"cap": _spikes_capture(resumed_log)},
+    )
+    assert t3.resume_from() == 4
+    t3.train()
+    assert len(resumed_log) == 3
+    for a, b in zip(full_log[4:], resumed_log):
+        np.testing.assert_array_equal(a, b)
+
+    p1 = np.asarray(next(iter(jax_leaves(t1.state.params))))
+    p3 = np.asarray(next(iter(jax_leaves(t3.state.params))))
+    np.testing.assert_allclose(p1, p3, rtol=1e-6, atol=1e-7)
+
+
 def test_dataloader_stateless_epoch_order():
     """epoch_order is pure in (seed, epoch); set_epoch(skip_batches=k)
     fast-forwards exactly k batches of that epoch's order."""
