@@ -138,8 +138,12 @@ class LoRADense(nn.Module):
             # Serving calls (training=False: prefill AND decode) also take
             # the XLA convert+dot — measured 1014-1017 vs 955 tok/s for the
             # Pallas kernel at 7B/16L greedy decode (r4); the fine-tune
-            # step's forward keeps the Pallas kernel, which wins fwd+bwd at
-            # the same M (36.5 vs 34.3 samples/s at 7B/16L). Same math
+            # step's forward keeps the Pallas kernel at standard shapes
+            # (M = B*T > 1024), which wins fwd+bwd there (36.5 vs 34.3
+            # samples/s at 7B/16L). Training forwards with B*T <= 1024
+            # reroute to XLA inside int8_matmul's "auto" — measured faster
+            # at those skinny shapes too (0.98 vs 1.29 ms fwd+bwd at M=512,
+            # 7B widths, r5 — ops/quant.py dispatch comment). Same math
             # either way; only the weight-streaming schedule differs.
             y = int8_matmul(
                 x,

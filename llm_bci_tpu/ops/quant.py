@@ -315,17 +315,23 @@ def int8_matmul(
     N = q.shape[1]
     x2 = x.reshape(-1, K)
     M = x2.shape[0]
-    # Serving-shaped calls (M up to ~1k: the per-token KV-cache decode at
-    # M=B, and the prompt prefill at M=B*P) take the XLA convert+dot:
-    # measured END-TO-END at true Llama-2-7B widths (16 layers, greedy
-    # B=8, r4), the full-XLA path decodes 1014-1017 tok/s vs the Pallas
-    # kernel's 955 (bf16: 662); rerouting only the M<=64 decode steps
-    # measured 964 and a hybrid that kept Pallas below the 32k-wide
-    # lm_head measured 960 — XLA's fused convert+dot keeps the weight
-    # stream closer to the HBM roofline at these skinny shapes, so the
-    # whole serving path reroutes. Larger-M calls (the fine-tune step's
-    # M = B*T) keep the Pallas kernel. Explicitly pinned blocks still
-    # take the kernel (tests pin tilings).
+    # Small-M calls (M <= 1024) take the XLA convert+dot — now measured
+    # for BOTH call classes that hit this branch (the r4 advisor flagged
+    # that only serving had been measured):
+    # * serving (training=False — LoRADense also pins impl="xla"
+    #   explicitly): END-TO-END at true Llama-2-7B widths (16 layers,
+    #   greedy B=8, r4), full-XLA decodes 1014-1017 tok/s vs the Pallas
+    #   kernel's 955 (bf16: 662);
+    # * small-batch TRAINING forwards (B*T <= 1024 debug/small
+    #   fine-tunes): kernel-level fwd+bwd at M=512, 7B widths (r5, real
+    #   chip): XLA 0.98 ms vs Pallas 1.29 ms at (4096,4096); 1.03 vs
+    #   1.78 ms at the (4096,11008) ffn shape — XLA's fused convert+dot
+    #   beats the M-padded (512→bm) Pallas schedule at skinny M both
+    #   directions. docs/performance.md "int8 dispatch".
+    # Larger-M calls (the standard fine-tune step's M = B*T ~ 1480) keep
+    # the Pallas kernel (measured faster end-to-end: 36.5 vs 34.3
+    # samples/s at 7B/16L, r4). Explicitly pinned blocks still take the
+    # kernel (tests pin tilings).
     if impl == "auto" and block_n is None and block_k is None and M <= 1024:
         return _int8_matmul(x2, q, scale, out_dtype, None).reshape(*lead, N)
     if impl == "xla":
