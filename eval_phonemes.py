@@ -9,8 +9,23 @@ decode instead of HF ``generate``), decodes, and accumulates word errors.
 Usage:
   python eval_phonemes.py -k from_pt=checkpoints/bci/STEP500 beams=5 \
       savestring=wer_run test_len=50
+  # the reference's beam sweep (its analysis block evaluates beams
+  # 1,3,5,10,25,50 — /root/reference/eval_phonemes.py:141) in ONE process,
+  # writing <savestring>_<k>.pkl per beam size (the naming analyze_cli
+  # groups on):
+  python eval_phonemes.py -k from_pt=... beams=1,3,5,10,25,50
   # serve the frozen base int8 (weight-only PTQ of the saved kernels):
   python eval_phonemes.py -k from_pt=... quantize=int8
+
+Compile cost: unlike the reference (HF generate = eager torch, no compile),
+each beam size K jit-compiles its own decode program (~10 s for K=1 up to
+~160 s for K=50 at bench-model scale). To make repeated sweeps practical,
+this script enables JAX's persistent compilation cache (default
+``~/.cache/llm_bci_tpu/xla``; override with -k compilation_cache=<dir>,
+disable with compilation_cache=off): a re-run of the same sweep — after a
+crash, with different test_len, on the next checkpoint with identical
+shapes — loads every program from disk instead of recompiling. Measured
+sweep wallclocks (cold vs warm cache): docs/performance.md "beam sweep".
 
 Also includes the offline analysis helpers of the reference
 (``eval_phonemes.py:128-260``): bootstrap-CI WER and best-of-k curves over
@@ -21,6 +36,7 @@ from __future__ import annotations
 import argparse
 import os
 import pickle
+import time
 
 import numpy as np
 
@@ -30,14 +46,39 @@ from llm_bci_tpu.eval.eval_bci import word_error_count
 from llm_bci_tpu.training.trainer import Trainer
 
 
+def setup_compilation_cache(cache_dir=None):
+    """Point JAX's persistent compilation cache at ``cache_dir`` (default
+    ``~/.cache/llm_bci_tpu/xla``) so every jitted decode program — one per
+    beam size — compiles once EVER per (model shapes, K), not once per
+    process. Pass ``"off"``/``"none"`` to disable. Safe to call before any
+    device use; returns the directory or None when disabled."""
+    cache_dir = str(
+        cache_dir or os.path.expanduser("~/.cache/llm_bci_tpu/xla")
+    )
+    if cache_dir.lower() in ("off", "none", "0", "false"):
+        return None
+    import jax
+
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # Cache every program that took >=1 s to build: the per-K decode
+    # programs are the cost; trivial host-callback jits aren't worth disk.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    return cache_dir
+
+
 def main(args):
     kwargs = config_from_kwargs(args.kwargs)
     beams = kwargs.get("beams", 1)
+    # "5" → [5]; "1,3,5,10,25,50" → the reference's sweep in one process.
+    beam_list = [int(b) for b in str(beams).split(",") if str(b).strip()]
     from_pt = kwargs.get("from_pt")
     if not from_pt:
         raise SystemExit("pass -k from_pt=<checkpoint dir containing trainer_config.yaml>")
     savestring = kwargs.get("savestring", "test_decoding")
     test_len = kwargs.get("test_len")
+    setup_compilation_cache(kwargs.get("compilation_cache"))
 
     # ours (trainer_config.yaml) or a reference checkpoint's torch-pickled
     # trainer_config.pth (reference models/trainer.py:412) — migrated
@@ -51,7 +92,7 @@ def main(args):
     config["model"]["from_pt"] = from_pt
     config["training"]["test_batch_size"] = 1
     config["data"]["test_len"] = test_len
-    config["method"]["metric_kwargs"]["n_beams"] = beams
+    config["method"]["metric_kwargs"]["n_beams"] = beam_list[0]
     # -k quantize=int8: serve the frozen LLM base int8 (weight-only) even
     # from a bf16-trained checkpoint — the restore path post-training-
     # quantizes the saved kernels (ops/quant.py adapt_quantization).
@@ -66,9 +107,13 @@ def main(args):
     )
     dataset = create_llm_labels(dataset, tokenizer, config.data.prompt)
 
-    all_preds = []
+    # Mutated per sweep step: the metric fn appends into the CURRENT beam
+    # size's prediction list / pickle (named <savestring>_<k>.pkl when
+    # sweeping — the grouping convention analyze_cli reads back).
+    run = {"preds": [], "path": f"{savestring}.pkl"}
 
     def wer(model, model_inputs, unused_inputs, outputs, **kw):
+        all_preds = run["preds"]
         import jax.numpy as jnp
 
         # Strip the target sentence AND the pad (unk) tokens: the reference
@@ -117,14 +162,24 @@ def main(args):
         print("-" + pred_sentence + "-", "\n#####\n")
         print("-" + target_sentence + "-", "\n#####\n\n ")
         all_preds.append((np.asarray(tokens), target_sentence))
-        with open(f"{savestring}.pkl", "wb") as f:
+        with open(run["path"], "wb") as f:
             pickle.dump(all_preds, f)
         return errors / n_words
 
     trainer = Trainer(config, dataset=dataset, metric_fns={"WER": wer})
-    _, metrics = trainer.evaluate(eval_train_set=False)
-    print(f"WER: {metrics['WER']:.4f}")
-    return metrics
+    all_metrics = {}
+    for k in beam_list:
+        trainer.metric_kwargs["n_beams"] = k
+        run["preds"] = []
+        run["path"] = (
+            f"{savestring}_{k}.pkl" if len(beam_list) > 1 else f"{savestring}.pkl"
+        )
+        t0 = time.perf_counter()
+        _, metrics = trainer.evaluate(eval_train_set=False)
+        dt = time.perf_counter() - t0
+        print(f"beams={k}: WER {metrics['WER']:.4f} ({dt:.1f}s)")
+        all_metrics[k] = metrics
+    return all_metrics if len(beam_list) > 1 else all_metrics[beam_list[0]]
 
 
 # ------------------------------------------------------------------ analysis

@@ -129,22 +129,29 @@ def test_bci_train_then_wer_eval(tmp_path):
     assert os.path.exists(os.path.join(step_dir, "llm.msgpack"))
     assert os.path.exists(os.path.join(step_dir, "trainer_config.yaml"))
 
+    # beams="2,1": the reference's sweep pattern (one process, one compile
+    # per beam size, per-K pickles named <savestring>_<k>.pkl — the
+    # convention analyze_cli groups on).
     preds_base = str(tmp_path / "wer_preds")
-    metrics = eval_mod.main(
+    sweep = eval_mod.main(
         argparse.Namespace(
             config_file="none",
             kwargs={
-                "from_pt": step_dir, "beams": "2", "test_len": "2",
+                "from_pt": step_dir, "beams": "2,1", "test_len": "2",
                 "savestring": preds_base,
             },
         )
     )
-    assert np.isfinite(metrics["WER"])
-    all_preds = pickle.load(open(preds_base + ".pkl", "rb"))
+    assert set(sweep) == {2, 1}
+    metrics = sweep[2]
+    assert np.isfinite(metrics["WER"]) and np.isfinite(sweep[1]["WER"])
+    all_preds = pickle.load(open(preds_base + "_2.pkl", "rb"))
     assert len(all_preds) == 2
     tokens, target = all_preds[0]
     assert np.asarray(tokens).shape[0] == 2          # both beams saved
     assert isinstance(target, str)
+    greedy_preds = pickle.load(open(preds_base + "_1.pkl", "rb"))
+    assert np.asarray(greedy_preds[0][0]).shape[0] == 1
 
     # The eval-time model must carry the TRAINED LoRA adapters (the
     # reference loads adapters via peft at eval): compare a lora_A leaf
