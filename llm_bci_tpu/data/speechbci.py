@@ -526,14 +526,27 @@ class DictionaryG2P:
                 b = lk(w[len(pre):], depth) if len(w[len(pre):]) >= min_stem else None
                 if b:
                     return list(pre_phones) + b
-        # Closed compounds (CATFISH, FIREWORKS, SNOWSTORM): both halves >= 3
-        # letters, the FIRST half a direct dictionary entry (no derivation —
-        # a derived first half is how false splits creep in), the second
-        # half a dictionary entry or one more derivation (FIREWORKS =
-        # FIRE+WORK+S). Longest first half wins (NOTEBOOK -> NOTE+BOOK, not
-        # NOT+EBOOK).
-        if len(w) >= 7 and "'" not in w:
-            for i in range(len(w) - 3, 2, -1):
+        # Closed compounds (FIREWORKS, SNOWSTORM, NOTEBOOK): both halves
+        # >= 4 letters, the FIRST half a direct dictionary entry (no
+        # derivation — a derived first half is how false splits creep in),
+        # the second half a dictionary entry or one more derivation
+        # (FIREWORKS = FIRE+WORK+S). Among the valid split points, the
+        # most BALANCED split wins, longer-first-half as tiebreak: English
+        # compounds pair two content words of similar weight, so HORSESHOE
+        # parses HORSE+SHOE (5+4) rather than the longest-first HORSES+HOE
+        # (6+3). Both r5 tightenings (the r4 rule was longest-first with
+        # >= 3-letter halves) are measured against the dictionary's own
+        # inflection sweep (tests/test_lts.py): 3-letter halves mostly
+        # manufactured false splits of monomorphemic words and names —
+        # STEP+HEN, HEAT+HER, BAR+RAGE, CAME+RON — while the short TRUE
+        # compounds they could catch (CATFISH, TEAPOT) are dictionary
+        # entries anyway, so excluding them costs a rule-engine fallback
+        # only for genuinely-OOV short compounds.
+        if len(w) >= 8 and "'" not in w:
+            mid = len(w) / 2
+            for i in sorted(
+                range(4, len(w) - 3), key=lambda i: (abs(i - mid), -i)
+            ):
                 a = self.entries.get(w[:i])
                 if a is None:
                     continue
