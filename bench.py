@@ -1133,14 +1133,23 @@ def bench_cosmooth(n_neurons: int = 100) -> dict:
     params = trainer.state.params
     batches = list(trainer.test_dataloader)
 
-    def apply_fn(params, batch, overrides):
-        return eval_model.apply(
+    def apply_fn(params, batch, overrides, channel=None):
+        preds = eval_model.apply(
             {"params": params}, **batch, training=False,
             masker_overrides=overrides, rngs={"mask": jax.random.PRNGKey(0)},
         ).preds
+        if channel is not None:
+            preds = jnp.take(preds, channel, axis=-1)
+        return preds
 
-    eval_fn = jax.jit(apply_fn)
-    eval_vmapped = jax.jit(jax.vmap(apply_fn, in_axes=(None, None, 0)))
+    # The production neuron-mode path (co_smoothing.run_sweep): vmapped
+    # over stacked overrides AND device-side sliced to the held-out
+    # channel (ships (K, trials, T), not (K, trials, T, N)). The naive
+    # contrast is one jitted full-prediction pass per neuron — already
+    # stronger than the reference's eager per-neuron eval passes, so the
+    # speedup is a LOWER bound.
+    eval_fn = jax.jit(lambda p, b, o: apply_fn(p, b, o))
+    eval_vmapped = jax.jit(jax.vmap(apply_fn, in_axes=(None, None, 0, 0)))
     dev_batches = [
         {k: v for k, v in mi.items() if isinstance(v, np.ndarray)}
         for mi, _ in batches
@@ -1153,17 +1162,20 @@ def bench_cosmooth(n_neurons: int = 100) -> dict:
     stacked = jax.tree_util.tree_map(
         lambda *xs: jnp.stack(xs, 0), *[ov(i) for i in range(K)]
     )
-    np.asarray(eval_vmapped(params, dev_batches[0], stacked))
+    chs = jnp.arange(K)
+    np.asarray(eval_vmapped(params, dev_batches[0], stacked, chs))
     np.asarray(eval_fn(params, dev_batches[0], ov(0)))
 
     t0 = time.perf_counter()
     for start in range(0, n_neurons, K):
+        idx = list(range(start, min(start + K, n_neurons)))
+        idx += [idx[-1]] * (K - len(idx))   # ragged tail: pad, keep ONE program
         stacked = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs, 0),
-            *[ov(i) for i in range(start, min(start + K, n_neurons))],
+            lambda *xs: jnp.stack(xs, 0), *[ov(i) for i in idx]
         )
+        chs = jnp.asarray(idx)
         for dev in dev_batches:
-            np.asarray(eval_vmapped(params, dev, stacked))
+            np.asarray(eval_vmapped(params, dev, stacked, chs))
     dt_vmap = time.perf_counter() - t0
 
     t0 = time.perf_counter()

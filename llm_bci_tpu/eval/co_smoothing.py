@@ -109,17 +109,31 @@ def co_smoothing_eval(
         }
         var_tasklist = ["block", "choice", "reward"]
 
-    def run_sweep(masker_cfgs: Dict[str, dict], overrides_for, sweep_batch: int = 8):
+    def run_sweep(
+        masker_cfgs: Dict[str, dict],
+        overrides_for,
+        sweep_batch: int = 8,
+        channel_for=None,
+    ):
         """overrides_for(n_or_region) -> {idx: MaskerOverrides}.
 
         Returns (one, many): ``one(point)`` evaluates a single sweep point;
         ``many(points)`` vmaps the model over up to ``sweep_batch`` stacked
         override sets at once — the reference's N× sequential eval passes
         (``utils/eval_co_smoothing.py:147-153``) become ⌈N/K⌉ batched passes
-        under one compilation (SURVEY.md §3.5 north star)."""
+        under one compilation (SURVEY.md §3.5 north star).
+
+        ``channel_for(point) -> int``: when given, each sweep point's
+        prediction is sliced to that single channel ON DEVICE and ``many``
+        yields rates shaped (K, trials, T) instead of (K, trials, T, N).
+        The neuron / intra-region modes only ever consume the held-out
+        channel (bits-per-spike and the single-cell plots), so this is
+        lossless for them and cuts device→host traffic by N× — the sweep
+        was transfer-bound, not compute-bound, on remote-attached setups
+        (r5: 256-channel sweep moved ~6.5 MB/neuron before, ~26 KB after)."""
         eval_model = _eval_model_with_maskers(model, masker_cfgs)
 
-        def apply_fn(params, batch, overrides):
+        def apply_fn(params, batch, overrides, channel=None):
             out = eval_model.apply(
                 {"params": params, **extra_vars},
                 **batch,
@@ -129,11 +143,17 @@ def co_smoothing_eval(
                 # eval; fixed key = deterministic sweep.
                 rngs={"mask": jax.random.PRNGKey(0)},
             )
-            return out.preds
+            preds = out.preds
+            if channel is not None:
+                preds = jnp.take(preds, channel, axis=-1)   # (trials, T)
+            return preds
 
         eval_fn = jax.jit(apply_fn)
-        # vmap over the stacked overrides only; params/batch broadcast.
-        eval_fn_vmapped = jax.jit(jax.vmap(apply_fn, in_axes=(None, None, 0)))
+        # vmap over the stacked overrides (and channels); params/batch
+        # broadcast.
+        eval_fn_vmapped = jax.jit(jax.vmap(
+            apply_fn, in_axes=(None, None, 0, 0 if channel_for else None)
+        ))
 
         def dev_batches():
             for model_inputs, _ in batches:
@@ -147,26 +167,36 @@ def co_smoothing_eval(
 
         def one(point) -> np.ndarray:
             overrides = overrides_for(point)
-            preds = [np.asarray(eval_fn(params, dev, overrides)) for dev in dev_batches()]
+            ch = jnp.asarray(channel_for(point)) if channel_for else None
+            preds = [
+                np.asarray(eval_fn(params, dev, overrides, ch))
+                for dev in dev_batches()
+            ]
             preds = np.concatenate(preds, axis=0)
             return np.exp(preds) if log_input else preds
 
         def many(points):
             """Yields (start, rates) chunks of up to ``sweep_batch`` sweep
-            points, rates shaped (K, trials, T, N). Chunked so the host
-            never holds the full (n_points, trials, T, N) array — at IBL
-            scale (~700 neurons) that would be tens of GB."""
+            points, rates shaped (K, trials, T, N) — or (K, trials, T)
+            under ``channel_for``. Chunked so the host never holds the
+            full (n_points, trials, T, N) array — at IBL scale (~700
+            neurons) that would be tens of GB."""
             for start in range(0, len(points), sweep_batch):
                 chunk = points[start : start + sweep_batch]
                 stacked = jax.tree_util.tree_map(
                     lambda *xs: jnp.stack(xs, axis=0),
                     *[overrides_for(pt) for pt in chunk],
                 )
+                chs = (
+                    jnp.asarray([channel_for(pt) for pt in chunk])
+                    if channel_for
+                    else None
+                )
                 preds = [
-                    np.asarray(eval_fn_vmapped(params, dev, stacked))
+                    np.asarray(eval_fn_vmapped(params, dev, stacked, chs))
                     for dev in dev_batches()
                 ]
-                rates = np.concatenate(preds, axis=1)       # (K, trials, T, N)
+                rates = np.concatenate(preds, axis=1)
                 yield start, (np.exp(rates) if log_input else rates)
 
         return one, many
@@ -174,7 +204,10 @@ def co_smoothing_eval(
     spikes_all = np.concatenate([b[0]["spikes"] for b in batches], axis=0)
 
     def score(rates: np.ndarray, n_i: int, mode: str):
-        bps = bits_per_spike(rates[:, :, [n_i]], spikes_all[:, :, [n_i]])
+        # rates: (trials, T, N) from a full-prediction pass, or (trials, T)
+        # already device-sliced to channel n_i (run_sweep channel_for).
+        col = rates if rates.ndim == 2 else rates[:, :, n_i]
+        bps = bits_per_spike(col[:, :, None], spikes_all[:, :, [n_i]])
         r2 = [0.0, 0.0]
         if make_r2_plots:
             if is_aligned:
@@ -182,7 +215,7 @@ def co_smoothing_eval(
 
                 r2 = list(
                     viz_single_cell(
-                        behavior_set, spikes_all[:, :, n_i], rates[:, :, n_i],
+                        behavior_set, spikes_all[:, :, n_i], col,
                         var_name2idx, var_tasklist, var_value2label, [],
                         subtract_psth=subtract_psth,
                         aligned_tbins=onset_alignment,
@@ -196,7 +229,7 @@ def co_smoothing_eval(
 
                 r2 = [
                     viz_single_cell_unaligned(
-                        spikes_all[:, :, n_i], rates[:, :, n_i],
+                        spikes_all[:, :, n_i], col,
                         neuron_idx=str(uuids_list[n_i])[:4],
                         neuron_region=region_list[n_i],
                         method=method, mode=mode, save_path=save_path,
@@ -213,6 +246,7 @@ def co_smoothing_eval(
             lambda n_i: {0: MaskerOverrides(
                 channels_onehot=jnp.asarray(np.arange(N_total) == n_i)
             )},
+            channel_for=lambda n_i: n_i,
         )
         bps_list, r2_list = [], []
         for start, rates in many(list(range(N))):
@@ -239,6 +273,7 @@ def co_smoothing_eval(
                     channels_onehot=jnp.asarray(np.arange(N_total) == n_i)
                 ),
             },
+            channel_for=lambda n_i: n_i,
         )
         bps_list, r2_list = [], []
         for start, rates in many(list(range(N))):
