@@ -39,20 +39,20 @@ def test_lts_agreement_floor_vs_dictionary():
     """The rule engine must stay close to the vendored dictionary: these
     floors pin the measured quality so rule edits can't silently regress.
 
-    Measured at r5 commit time: 63.2% exact / 0.0951 PER against the
-    12,022-entry r5 dictionary, and 66.8% exact / 0.0879 PER against the
-    7,078-entry r4 dictionary the previous floors (0.60 / 0.115) were set
-    on — i.e. the r5 targets (>=0.65 exact, PER <=0.10, VERDICT r4 #5)
-    are MET on the yardstick they were set against; the floors pinned
-    here track the CURRENT dictionary, which grew 70% with intrinsically
-    harder content (1,100+ proper nouns, long Latinate vocabulary) and
-    so measures lower on exact. The r4->r5 lift came from ~270
-    automatically mined suffix/prefix rules (scripts/mine_lts_rules.py,
-    greedy accept on whole-word exact) plus hand batches (psych-/ps-,
-    -xious, -ical/-itive/-ative, -ize, de-/be- prefix reduction, tz,
-    word rules for is/as/has/was). Residual error remains
-    full-vowel-vs-schwa and stress placement in long Latinate words,
-    which a stress-blind rule engine cannot fully resolve."""
+    Measured at r5 commit time: 66.9% exact / 0.0848 PER against the
+    12,022-entry r5 dictionary (and 71.5% / 0.0751 against the
+    7,078-entry r4 dictionary the previous floors, 0.60 / 0.115, were
+    set on) — the r5 targets (>=0.65 exact, PER <=0.10, VERDICT r4 #5)
+    are met on BOTH yardsticks, although the dictionary grew 70% with
+    intrinsically harder content (1,100+ proper nouns, long Latinate
+    vocabulary). The r4->r5 lift came from ~490 automatically mined
+    suffix/prefix rules (scripts/mine_lts_rules.py: greedy accept on
+    whole-word exact agreement, left-guard variants, iterated to
+    convergence) plus hand batches (psych-/ps-, -xious,
+    -ical/-itive/-ative, -ize, de-/be- prefix reduction, tz, word rules
+    for is/as/has/was). Residual error remains full-vowel-vs-schwa and
+    stress placement in long Latinate words, which a stress-blind rule
+    engine cannot fully resolve."""
     lts = RuleLTS()
     entries = _dict_entries()
     exact, err, ref_len = 0, 0, 0
@@ -63,8 +63,8 @@ def test_lts_agreement_floor_vs_dictionary():
         err += e
         ref_len += len(ref)
     assert len(entries) >= 12000          # VERDICT r5: dictionary >= 12k
-    assert exact / len(entries) >= 0.625, f"exact {exact}/{len(entries)}"
-    assert err / ref_len <= 0.10, f"PER {err / ref_len:.3f}"
+    assert exact / len(entries) >= 0.65, f"exact {exact}/{len(entries)}"
+    assert err / ref_len <= 0.09, f"PER {err / ref_len:.3f}"
 
 
 def test_frequency_weighted_coverage_without_lts():
