@@ -575,16 +575,12 @@ def main():
         "kernel_selftest": selftest,
         **bci,
     }
-    print(json.dumps({**headline, "partial": "7B legs pending"}), flush=True)
+    print(json.dumps({**headline, "partial": "decode + 7B legs pending"}), flush=True)
 
-    bci7b = _guard(
-        bench_bci7b, ("bci7b_mfu", "bci7b_int8_vs_bf16")
-    ) if os.environ.get("BENCH_SKIP_7B") != "1" else {}
-    if isinstance(bci7b, str):
-        bci7b = {"bci7b_mfu": bci7b, "bci7b_int8_vs_bf16": bci7b}
-
-    # guard the bf16 and int8 decode legs separately: an int8-only failure
-    # must not discard the already-measured bf16 number
+    # The cheap small-model decode legs run BEFORE the ~1 h 7B block so a
+    # wall-clock cut mid-7B only costs the not-yet-run 7B keys.
+    # Guard the bf16 and int8 decode legs separately: an int8-only failure
+    # must not discard the already-measured bf16 number.
     gen = _guard(
         lambda: bench_generate(greedy_only=True), ("greedy_tokens_per_sec",)
     )
@@ -596,19 +592,38 @@ def main():
     bf16_tps, int8_tps = gen.get("greedy_tokens_per_sec"), gen8["greedy_tokens_per_sec"]
     if isinstance(bf16_tps, (int, float)) and isinstance(int8_tps, (int, float)):
         gen["int8_vs_bf16"] = round(int8_tps / bf16_tps, 3)
+    headline.update(gen)
+    print(json.dumps({**headline, "partial": "7B legs pending"}), flush=True)
 
-    print(
-        json.dumps(
-            {
-                **headline,
-                # 7B legs: true Llama-2-7B layer shapes (VERDICT r3 #1) +
-                # the full-depth 32-layer single-chip legs (VERDICT r4 #1)
-                **bci7b,
-                **gen,
-            }
-        ),
-        flush=True,
-    )
+    # 7B legs: true Llama-2-7B layer shapes (VERDICT r3 #1) + the
+    # full-depth 32-layer single-chip legs (VERDICT r4 #1). Each sub-leg
+    # checkpoints an updated JSON line as it lands (the driver records the
+    # LAST line), so a cut during e.g. the final 32L fine-tune leg still
+    # records the serving numbers measured before it.
+    last_7b_partial: dict = {}
+
+    def _checkpoint_7b(partial_so_far: dict, pending: str) -> None:
+        last_7b_partial.clear()
+        last_7b_partial.update(partial_so_far)
+        print(
+            json.dumps(
+                {**headline, **partial_so_far, "partial": f"7B {pending} pending"}
+            ),
+            flush=True,
+        )
+
+    bci7b = _guard(
+        lambda: bench_bci7b(on_partial=_checkpoint_7b),
+        ("bci7b_mfu", "bci7b_int8_vs_bf16"),
+    ) if os.environ.get("BENCH_SKIP_7B") != "1" else {}
+    if isinstance(bci7b, str):
+        bci7b = {"bci7b_mfu": bci7b, "bci7b_int8_vs_bf16": bci7b}
+    # a failure in a LATER 7B leg must not discard the sub-legs that
+    # already measured: keep every checkpointed key, error strings only
+    # for the keys that never landed
+    bci7b = {**bci7b, **last_7b_partial}
+
+    print(json.dumps({**headline, **bci7b}), flush=True)
 
 
 def _bci_model_and_batch(quant=None, llm="bench", n_layers=None, remat=False):
@@ -865,7 +880,7 @@ def bench_bci(
     return out
 
 
-def bench_bci7b() -> dict:
+def bench_bci7b(on_partial=None) -> dict:
     """7B-proxy legs (VERDICT r3 #1): the two perf claims that were
     extrapolated in r3, measured at TRUE Llama-2-7B layer shapes
     (hidden 4096, inter 11008, 32 MHA heads, vocab 32000 — the reference's
@@ -881,7 +896,15 @@ def bench_bci7b() -> dict:
       base bf16 vs int8 weight-only — decode streams every weight byte per
       token, so this is where ops/quant.py's HBM-bandwidth rationale must
       show up (r3 measured 0.90x at 12L/1024h bench shapes).
+
+    ``on_partial(results_so_far, pending_leg_name)`` is called after each
+    sub-leg so the caller can checkpoint a JSON line — a wall-clock cut in
+    a later leg then only loses the keys that were never measured.
     """
+    def _partial(pending: str) -> None:
+        if on_partial is not None:
+            on_partial(dict(out), pending)
+
     def retry(fn, what):
         # The 7B legs are the biggest programs of the whole bench and run
         # after ~an hour of accumulated compiles on a remote-attached dev
@@ -902,6 +925,38 @@ def bench_bci7b() -> dict:
             return fn()
 
     out = {}
+    # FULL-DEPTH legs FIRST (VERDICT r4 #1 — the highest-information
+    # numbers of the block): the real 32-layer Llama-2-7B shape on ONE
+    # 16 GB chip — int8 serving (greedy + the diverse-beam(5) WER
+    # surface) and the reference's actual flagship recipe, the single-chip
+    # fine-tune (int8 frozen base ~6.9 GB + LoRA + per-layer remat;
+    # reference runs this across 4 GPUs via ZeRO-3, deepspeed/kai.yaml).
+    # bf16 cannot serve or train this depth on one chip (13.5 GB weights
+    # alone), so these are absolute numbers, not A/Bs. The 16L legs that
+    # follow re-confirm r4's proxy-scale records (MFU shape argument,
+    # int8-vs-bf16 decode ratio) and are the ones to lose if the driver's
+    # wall clock cuts the run.
+    if os.environ.get("BENCH_SKIP_7B32") != "1":
+        serve32 = retry(
+            lambda: bench_generate(quant="int8", llm="7b"), "int8 serve 32L"
+        )
+        out["bci7b32_int8_greedy_tokens_per_sec"] = serve32["greedy_tokens_per_sec"]
+        out["bci7b32_int8_beam5_sequences_per_sec"] = serve32[
+            "beam5_sequences_per_sec"
+        ]
+        _partial("32L fine-tune + 16L legs")
+        train32 = retry(
+            lambda: bench_bci(
+                llm="7b", n_layers=32, remat=True, quant="int8",
+                key_prefix="bci7b32",
+            ),
+            "int8 train 32L",
+        )
+        out["bci7b32_lora_samples_per_sec"] = train32["bci7b32_lora_samples_per_sec"]
+        out["bci7b32_mfu"] = train32.get("bci7b32_mfu", 0.0)
+        out["bci7b32_train_layers"] = 32
+        _partial("16L legs")
+
     train = retry(
         lambda: bench_bci(
             llm="7b", n_layers=_BCI7B_TRAIN_LAYERS, remat=True,
@@ -912,6 +967,7 @@ def bench_bci7b() -> dict:
     out["bci7b_mfu"] = train.get("bci7b_mfu", 0.0)
     out["bci7b_lora_samples_per_sec"] = train["bci7b_lora_samples_per_sec"]
     out["bci7b_train_layers"] = _BCI7B_TRAIN_LAYERS
+    _partial("16L decode A/B legs")
 
     bf16 = retry(
         lambda: bench_generate(
@@ -931,32 +987,6 @@ def bench_bci7b() -> dict:
     out["bci7b_int8_vs_bf16"] = round(
         int8["greedy_tokens_per_sec"] / bf16["greedy_tokens_per_sec"], 3
     )
-
-    # FULL-DEPTH legs (VERDICT r4 #1): the real 32-layer Llama-2-7B shape
-    # on ONE 16 GB chip — int8 serving (greedy + the diverse-beam(5) WER
-    # surface) and the reference's actual flagship recipe, the single-chip
-    # fine-tune (int8 frozen base ~6.9 GB + LoRA + per-layer remat;
-    # reference runs this across 4 GPUs via ZeRO-3, deepspeed/kai.yaml).
-    # bf16 cannot serve or train this depth on one chip (13.5 GB weights
-    # alone), so these are absolute numbers, not A/Bs.
-    if os.environ.get("BENCH_SKIP_7B32") != "1":
-        serve32 = retry(
-            lambda: bench_generate(quant="int8", llm="7b"), "int8 serve 32L"
-        )
-        out["bci7b32_int8_greedy_tokens_per_sec"] = serve32["greedy_tokens_per_sec"]
-        out["bci7b32_int8_beam5_sequences_per_sec"] = serve32[
-            "beam5_sequences_per_sec"
-        ]
-        train32 = retry(
-            lambda: bench_bci(
-                llm="7b", n_layers=32, remat=True, quant="int8",
-                key_prefix="bci7b32",
-            ),
-            "int8 train 32L",
-        )
-        out["bci7b32_lora_samples_per_sec"] = train32["bci7b32_lora_samples_per_sec"]
-        out["bci7b32_mfu"] = train32.get("bci7b32_mfu", 0.0)
-        out["bci7b32_train_layers"] = 32
     return out
 
 
